@@ -1,0 +1,49 @@
+"""Edge tapering: boundary preprocessing before deconvolution.
+
+TPU-native rewrite of /root/reference/polyblur/edgetaper.py. The taper
+weight map ``alpha`` is the outer product of 1 minus the normalized
+autocorrelations of the kernel's axis projections; the image is then blended
+``alpha * img + (1 - alpha) * blur(img)`` for ``n_tapers`` iterations.
+
+The autocorrelation normalization deliberately matches the reference's
+GLOBAL ``torch.max`` over the whole batch (edgetaper.py:15,21) — per-(b, c)
+normalization would be more principled for batches of unrelated kernels,
+but parity with the reference's numerics wins (tested against golden
+fixtures with B=2 distinct kernels).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .ops.conv import convolve2d
+
+__all__ = ["edgetaper", "edgetaper_alpha"]
+
+
+def _projection_autocorr(proj: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Periodic autocorrelation of a kernel axis-projection, length n."""
+    z = jnp.fft.fft(proj, n=n - 1, axis=-1)
+    za2 = jnp.abs(z) ** 2
+    z = jnp.real(jnp.fft.ifft(za2, axis=-1))
+    z = jnp.concatenate([z, z[..., :1]], axis=-1)
+    return 1.0 - z / jnp.amax(z)
+
+
+def edgetaper_alpha(kernel: jnp.ndarray, img_shape) -> jnp.ndarray:
+    """Taper weight map of shape (B, C, H, W) (edgetaper.py:10-23)."""
+    h, w = img_shape
+    v1 = _projection_autocorr(jnp.sum(kernel, axis=-1), h)  # (B,C,H)
+    v2 = _projection_autocorr(jnp.sum(kernel, axis=-2), w)  # (B,C,W)
+    return v1[..., :, None] * v2[..., None, :]
+
+
+def edgetaper(img: jnp.ndarray, kernel: jnp.ndarray, n_tapers: int = 3,
+              method: str = "fft") -> jnp.ndarray:
+    """Blend the image borders with blurred copies (edgetaper.py:26-33)."""
+    h, w = img.shape[-2:]
+    alpha = edgetaper_alpha(kernel, (h, w)).astype(img.dtype)
+    for _ in range(n_tapers):
+        blurred = convolve2d(img, kernel, method=method)
+        img = alpha * img + (1.0 - alpha) * blurred
+    return img

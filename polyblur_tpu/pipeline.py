@@ -1,0 +1,99 @@
+"""The Polyblur main loop: estimate -> polynomial deconvolution, iterated.
+
+TPU-native rewrite of /root/reference/polyblur/deblurring.py:23-110. The
+N-iteration loop is a ``jax.lax.scan`` over a shape-stable body (the padding
+introduced for deconvolution is cropped inside every iteration), so the whole
+pipeline traces once, compiles once, and stays differentiable end-to-end;
+``jax.checkpoint`` on the body keeps the backward pass memory-bounded at
+large image sizes.
+
+Continuous parameters (c, b, alpha, beta, sigma_s, sigma_r) are traced
+values — gradients flow through them, enabling the training-layer use case
+(reference README.md:69-80).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import restoration
+from .estimation import gaussian_blur_estimation
+from .ops.bilateral import bilateral_filter
+from .ops.domain_transform import recursive_filter
+from .ops.fourier import fourier_gradients
+
+__all__ = ["polyblur_core", "edge_aware_filtering"]
+
+
+def edge_aware_filtering(img: jnp.ndarray, sigma_s, sigma_r,
+                         smoother: str = "bilateral"):
+    """Split an image into smooth + noise components (deblurring.py:99-110).
+
+    The reference wires the bilateral filter and keeps the domain-transform
+    call commented out (deblurring.py:107-108); both are available here.
+    """
+    if smoother == "bilateral":
+        img_smoothed = bilateral_filter(img)
+    elif smoother == "domain_transform":
+        img_smoothed = recursive_filter(img, sigma_s=sigma_s, sigma_r=sigma_r,
+                                        num_iterations=1)
+    else:
+        raise ValueError(f"unknown smoother {smoother!r}")
+    return img_smoothed, img - img_smoothed
+
+
+@partial(jax.jit, static_argnames=(
+    "n_iter", "ker_size", "q", "n_angles", "n_interpolated_angles",
+    "remove_halo", "edgetaping", "prefiltering", "discard_saturation",
+    "multichannel_kernel", "method", "smoother", "remat"))
+def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
+                  alpha=2.0, beta=3.0, sigma_r=0.8, sigma_s=2.0,
+                  ker_size: int = 25, q: float = 0.0, n_angles: int = 6,
+                  n_interpolated_angles: int = 30, remove_halo: bool = False,
+                  edgetaping: bool = False, prefiltering: bool = False,
+                  discard_saturation: bool = False,
+                  multichannel_kernel: bool = False, method: str = "fft",
+                  smoother: str = "bilateral", remat: bool = False) -> jnp.ndarray:
+    """Blind deblurring of a batch of images.
+
+    :param img: (B, C, H, W) array in [0, 1]
+    :return: (B, C, H, W) restored images
+
+    Mirrors the functional pipeline deblurring.py:23-96 (same defaults):
+    per iteration, re-estimate the anisotropic Gaussian blur from the
+    current prediction, optionally split off noise, apply the degree-3
+    polynomial inverse filter, clip. ``grad_img`` for halo masking is
+    computed once from the original input (deblurring.py:61).
+    """
+    grad_img = fourier_gradients(img) if remove_halo else None
+    return_2d_filters = method != "direct_separable"
+
+    def body(impred, _):
+        kernel = gaussian_blur_estimation(
+            impred, c=c, b=b, q=q, n_angles=n_angles,
+            n_interpolated_angles=n_interpolated_angles, ker_size=ker_size,
+            discard_saturation=discard_saturation,
+            multichannel=multichannel_kernel,
+            return_2d_filters=return_2d_filters)
+        if prefiltering:
+            smooth, noise = edge_aware_filtering(impred, sigma_s, sigma_r,
+                                                 smoother=smoother)
+            restored = restoration.inverse_filtering_rank3(
+                smooth, kernel, alpha=alpha, beta=beta,
+                remove_halo=remove_halo, do_edgetaper=edgetaping,
+                grad_img=grad_img, method=method)
+            restored = restored + noise
+        else:
+            restored = restoration.inverse_filtering_rank3(
+                impred, kernel, alpha=alpha, beta=beta,
+                remove_halo=remove_halo, do_edgetaper=edgetaping,
+                grad_img=grad_img, method=method)
+        return jnp.clip(restored, 0.0, 1.0), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    out, _ = jax.lax.scan(body, img, None, length=n_iter)
+    return out

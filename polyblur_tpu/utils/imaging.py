@@ -1,0 +1,136 @@
+"""Array layout and image-geometry utilities.
+
+TPU-native counterpart of the reference's tensor helpers
+(/root/reference/polyblur/utils.py:8-70). Everything here is pure JAX on
+``(B, C, H, W)`` float arrays in [0, 1]; NumPy ``(H, W)`` / ``(H, W, C)``
+arrays are accepted at the API boundary and converted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "to_tensor",
+    "to_array",
+    "to_float",
+    "to_uint",
+    "pad_with_kernel",
+    "crop_with_kernel",
+    "extract_tiles",
+    "build_window",
+]
+
+
+def to_tensor(x: np.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Convert an ``(H, W)`` or ``(H, W, C)`` ndarray into a ``(C, H, W)`` array.
+
+    Mirrors utils.py:8-21 of the reference (channel-first layout, float cast).
+    """
+    x = np.asarray(x)
+    if x.ndim == 2:
+        x = x[None]
+    else:
+        x = np.transpose(x, (2, 0, 1))
+    return jnp.asarray(x, dtype=dtype)
+
+
+def to_array(x) -> np.ndarray:
+    """Convert a ``(B, C, H, W)`` / ``(C, H, W)`` array back to ``(H, W, C)`` numpy.
+
+    Mirrors utils.py:24-31 (squeeze + channel-last layout).
+    """
+    x = np.asarray(jax.device_get(x))
+    x = np.squeeze(x)
+    if x.ndim == 2:
+        return x
+    return np.transpose(x, (1, 2, 0))
+
+
+def to_float(img: np.ndarray) -> np.ndarray:
+    """Convert an image ndarray to float32 in [0, 1] (utils.py:34-38)."""
+    img = np.asarray(img)
+    if np.issubdtype(img.dtype, np.integer):
+        info = np.iinfo(img.dtype)
+        img = img.astype(np.float32) / float(info.max)
+    return img.astype(np.float32)
+
+
+def to_uint(img: np.ndarray) -> np.ndarray:
+    """Convert an image ndarray to uint8 (utils.py:41-45)."""
+    img = to_float(img)
+    return (255.0 * np.clip(img, 0.0, 1.0) + 0.5).astype(np.uint8)
+
+
+def _half_support(kernel=None, ksize: int = 3) -> int:
+    if kernel is not None:
+        return kernel.shape[-1] // 2
+    return ksize // 2
+
+
+def pad_with_kernel(img: jnp.ndarray, kernel=None, ksize: int = 3,
+                    mode: str = "edge") -> jnp.ndarray:
+    """Replicate-pad the two spatial dims by half the kernel support.
+
+    Matches utils.py:48-53 (torch ``replicate`` == numpy ``edge``); the
+    reference's ``circular`` mode maps to ``wrap``.
+    """
+    ks = _half_support(kernel, ksize)
+    pad = [(0, 0)] * (img.ndim - 2) + [(ks, ks), (ks, ks)]
+    return jnp.pad(img, pad, mode=mode)
+
+
+def crop_with_kernel(img: jnp.ndarray, kernel=None, ksize: int = 3) -> jnp.ndarray:
+    """Inverse of :func:`pad_with_kernel` (utils.py:56-61)."""
+    ks = _half_support(kernel, ksize)
+    return img[..., ks:-ks, ks:-ks]
+
+
+def extract_tiles(img: jnp.ndarray, kernel_size, stride: int = 1) -> jnp.ndarray:
+    """Extract sliding tiles: ``(B, C, H, W) -> (B, L, C, th, tw)``.
+
+    JAX equivalent of the unfold-based helper (utils.py:64-70), built on a
+    patch-extraction convolution-free gather so XLA can fuse it.
+    """
+    b, c, h, w = img.shape
+    th, tw = kernel_size
+    ny = (h - th) // stride + 1
+    nx = (w - tw) // stride + 1
+    i0 = (jnp.arange(ny) * stride)[:, None]
+    j0 = (jnp.arange(nx) * stride)[None, :]
+
+    def tile_at(i, j):
+        return jax.lax.dynamic_slice(img, (0, 0, i, j), (b, c, th, tw))
+
+    tiles = jax.vmap(jax.vmap(tile_at, in_axes=(None, 0)), in_axes=(0, None))(
+        i0[:, 0], j0[0, :]
+    )  # (ny, nx, B, C, th, tw)
+    tiles = tiles.reshape(ny * nx, b, c, th, tw)
+    return jnp.transpose(tiles, (1, 0, 2, 3, 4))
+
+
+def _kaiser_window(n: int, beta: float = 5.0) -> np.ndarray:
+    # periodic kaiser window of length n (torch.kaiser_window(..., periodic=True))
+    return np.kaiser(n + 1, beta)[:n]
+
+
+def build_window(image_size, window_type: str = "kaiser") -> jnp.ndarray:
+    """Separable 2D blending window for overlap-add tiling.
+
+    Reference: deblurring.py:349-366 (kaiser beta=5 / hann / hamming /
+    bartlett, all periodic).
+    """
+    h, w = image_size
+    if window_type == "kaiser":
+        wi, wj = _kaiser_window(h), _kaiser_window(w)
+    elif window_type == "hann":
+        wi, wj = np.hanning(h + 1)[:h], np.hanning(w + 1)[:w]
+    elif window_type == "hamming":
+        wi, wj = np.hamming(h + 1)[:h], np.hamming(w + 1)[:w]
+    elif window_type == "bartlett":
+        wi, wj = np.bartlett(h + 1)[:h], np.bartlett(w + 1)[:w]
+    else:
+        raise ValueError(f"Window {window_type!r} not implemented")
+    return jnp.asarray(wi[:, None] * wj[None, :], dtype=jnp.float32)

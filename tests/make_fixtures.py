@@ -1,0 +1,149 @@
+"""Generate golden parity fixtures by RUNNING the reference implementation.
+
+Run manually (not at test time):  python tests/make_fixtures.py
+
+This executes the reference PyTorch code at /root/reference on CPU and stores
+its outputs as .npz files in tests/data/. The test suite then asserts the
+JAX/TPU framework reproduces them (within float32/FFT-library tolerance and
+the 0.1 dB PSNR parity gate from BASELINE.md). No reference code is copied —
+it is imported and executed as an oracle.
+
+The reference imports skimage (utils.py:5) which is not installed; a
+single-function stub is injected (img_as_float32 is just dtype conversion).
+"""
+
+import sys
+import types
+
+import numpy as np
+from PIL import Image
+
+# --- stub skimage.img_as_float32 (reference utils.py:5) ---
+sk = types.ModuleType("skimage")
+
+
+def _img_as_float32(img):
+    img = np.asarray(img)
+    if np.issubdtype(img.dtype, np.integer):
+        return (img / np.iinfo(img.dtype).max).astype(np.float32)
+    return img.astype(np.float32)
+
+
+sk.img_as_float32 = _img_as_float32
+sys.modules.setdefault("skimage", sk)
+
+sys.path.insert(0, "/root/reference")
+
+import torch  # noqa: E402
+
+from polyblur import polyblur_deblurring  # noqa: E402  (reference package)
+from polyblur import blur_estimation, deblurring, domain_transform  # noqa: E402
+from polyblur import edgetaper as ref_edgetaper  # noqa: E402
+from polyblur import filters as ref_filters  # noqa: E402
+
+torch.manual_seed(0)
+OUT = "tests/data"
+
+
+def load_peacock():
+    img = np.asarray(Image.open("tests/data/peacock_defocus.png"))
+    return _img_as_float32(img)
+
+
+def main():
+    peacock = load_peacock()  # (H,W,3) float32
+    x = torch.from_numpy(peacock.transpose(2, 0, 1))[None]  # (1,3,H,W)
+
+    rng = np.random.default_rng(0)
+    small = torch.from_numpy(
+        rng.uniform(size=(2, 3, 40, 56)).astype(np.float32))
+
+    fx = {}
+
+    # 1. fourier gradients (the calibration-critical discretization)
+    gx, gy = ref_filters.fourier_gradients(small)
+    fx["grad_in"] = small.numpy()
+    fx["grad_x"] = gx.numpy()
+    fx["grad_y"] = gy.numpy()
+
+    # 2. p2o
+    k = torch.from_numpy(
+        np.stack([ref_filters.gaussian_filter((s, r), t, k_size=np.array([25, 25]))
+                  for s, r, t in [(2.0, 0.7, 0.5), (1.0, 1.0, 0.0)]])
+    ).float()[:, None]  # (2,1,25,25)
+    K = ref_filters.p2o(k, (40, 56))
+    fx["p2o_kernel"] = k.numpy()
+    fx["p2o_real"] = K.real.numpy()
+    fx["p2o_imag"] = K.imag.numpy()
+
+    # 3. blur estimation chain on the peacock (gray path, default angles)
+    sigmas, rhos, thetas = [], [], []
+    kernel = blur_estimation.gaussian_blur_estimation(
+        x, q=0.0, c=0.362, b=0.468, ker_size=25)
+    fx["est_kernel_peacock"] = kernel.numpy()
+
+    # intermediates for stage-level tests
+    img_gray = x.mean(dim=1, keepdims=True)
+    img_norm = blur_estimation.normalize(img_gray, q=0.0)
+    gxe, gye = ref_filters.fourier_gradients(img_norm)
+    mags = blur_estimation.compute_gradient_magnitudes((gxe, gye), n_angles=6)
+    th = torch.linspace(0, 180, 7).unsqueeze(0)
+    ith = torch.arange(0, 180, 6.0).unsqueeze(0)
+    mn, mo, tn = blur_estimation.find_maximal_blur_direction(mags, th, ith)
+    sg, rh = blur_estimation.compute_gaussian_parameters(mn, mo, c=0.362, b=0.468)
+    fx["est_mags"] = mags.numpy()
+    fx["est_mn"] = mn.numpy()
+    fx["est_mo"] = mo.numpy()
+    fx["est_theta"] = tn.numpy()
+    fx["est_sigma"] = sg.numpy()
+    fx["est_rho"] = rh.numpy()
+
+    # 4. edgetaper on small batch
+    et = ref_edgetaper.edgetaper(small, k, method="fft")
+    fx["edgetaper_out"] = et.numpy()
+    fx["edgetaper_alpha"] = ref_edgetaper.edgetaper_alpha(k, (40, 56)).numpy()
+
+    # 5. polynomial deconvolution (fft) on small batch
+    pol = deblurring.compute_polynomial(small, k, alpha=6.0, b=1.0, method="fft")
+    fx["poly_fft"] = pol.numpy()
+
+    # 6. inverse_filtering_rank3 (fft, halo on) on small batch
+    grad_img = ref_filters.fourier_gradients(small)
+    inv = deblurring.inverse_filtering_rank3(
+        small, k, alpha=6.0, b=1.0, correlate=False, remove_halo=False,
+        do_edgetaper=True, grad_img=grad_img, method="fft")
+    fx["invfilt_fft_taper"] = inv.numpy()
+
+    # 7. bilateral filter
+    bil = ref_filters.bilateral_filter(small, ksize=5, sigma_spatial=5.0,
+                                       sigma_color=0.1)
+    fx["bilateral_out"] = bil.numpy()
+
+    # 8. domain transform recursive filter
+    dt = domain_transform.recursive_filter(
+        small, sigma_s=40.0, sigma_r=0.1, num_iterations=3)
+    fx["domain_transform_out"] = dt.numpy()
+
+    # 9. end-to-end functional pipeline: demo config on downscaled peacock
+    # (downscale 2x by striding to keep fixture small; parity is about math,
+    #  not image size) — N=3, alpha=6, beta=1 as in README.md:44.
+    xs = x[..., ::2, ::2].contiguous()
+    out = polyblur_deblurring(xs, n_iter=3, c=0.362, b=0.468, alpha=6.0,
+                              beta=1.0, method="fft")
+    fx["e2e_in"] = xs.numpy()
+    fx["e2e_out_fft"] = out.numpy()
+
+    # 10. end-to-end with all features on
+    out_full = polyblur_deblurring(
+        xs, n_iter=2, c=0.362, b=0.468, alpha=6.0, beta=1.0, method="fft",
+        remove_halo=True, edgetaping=True, prefiltering=True)
+    fx["e2e_out_full"] = out_full.numpy()
+
+    np.savez_compressed(f"{OUT}/reference_fixtures.npz", **fx)
+    print(f"wrote {OUT}/reference_fixtures.npz:")
+    for n, v in fx.items():
+        print(f"  {n}: {v.shape} {v.dtype}")
+
+
+if __name__ == "__main__":
+    main()

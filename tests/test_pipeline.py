@@ -1,0 +1,130 @@
+"""End-to-end pipeline parity and properties."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import polyblur_tpu as pt
+from polyblur_tpu.pipeline import polyblur_core
+
+from conftest import psnr
+
+
+def test_e2e_fft_parity_vs_reference(ref):
+    """Demo config (N=3, alpha=6, beta=1) on the half-res peacock must match
+    the torch reference output within the 0.1 dB PSNR gate (BASELINE.md)."""
+    out = polyblur_core(jnp.asarray(ref["e2e_in"]), n_iter=3, c=0.362,
+                        b=0.468, alpha=6.0, beta=1.0, method="fft")
+    agree = psnr(out, ref["e2e_out_fft"])
+    assert agree > 40.0, f"PSNR vs reference output too low: {agree:.2f} dB"
+    # PSNR-vs-input parity: same restoration strength as the reference
+    p_ref = psnr(ref["e2e_out_fft"], ref["e2e_in"])
+    p_jax = psnr(np.asarray(out), ref["e2e_in"])
+    assert abs(p_ref - p_jax) < 0.1
+
+
+def test_e2e_full_features_parity_vs_reference(ref):
+    out = polyblur_core(jnp.asarray(ref["e2e_in"]), n_iter=2, c=0.362,
+                        b=0.468, alpha=6.0, beta=1.0, method="fft",
+                        remove_halo=True, edgetaping=True, prefiltering=True)
+    agree = psnr(out, ref["e2e_out_full"])
+    assert agree > 38.0, f"PSNR vs reference (full) too low: {agree:.2f} dB"
+
+
+def test_e2e_improves_synthetic_blur():
+    from scipy import ndimage
+    from polyblur_tpu.ops.gaussian import gaussian_filter_np
+
+    rng = np.random.default_rng(11)
+    base = ndimage.gaussian_filter(rng.uniform(size=(160, 160)), 1.2)
+    sharp = ((base > base.mean()).astype(np.float32) * 0.8 + 0.1)
+    k = gaussian_filter_np((1.8, 0.9), 0.7, k_size=np.array([25, 25]))
+    blurred = np.clip(
+        ndimage.convolve(sharp, k, mode="wrap"), 0, 1).astype(np.float32)
+    out = polyblur_core(jnp.asarray(blurred)[None, None], n_iter=3, c=0.362,
+                        b=0.468, alpha=6.0, beta=1.0)
+    p_blur = psnr(blurred, sharp)
+    p_deblur = psnr(np.asarray(out[0, 0]), sharp)
+    assert p_deblur > p_blur + 1.0, (p_blur, p_deblur)
+
+
+def test_methods_agree():
+    """FFT vs direct backends cross-check (the reference keeps both for this
+    reason, deblurring.py:113-119). Interiors must agree closely."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(size=(1, 3, 64, 64)).astype(np.float32))
+    a = polyblur_core(x, n_iter=1, alpha=6.0, beta=1.0, method="fft")
+    b = polyblur_core(x, n_iter=1, alpha=6.0, beta=1.0, method="direct")
+    np.testing.assert_allclose(a[..., 16:-16, 16:-16], b[..., 16:-16, 16:-16],
+                               atol=5e-3, rtol=0)
+
+
+def test_functional_numpy_adapter():
+    rng = np.random.default_rng(6)
+    img = rng.uniform(size=(48, 40, 3)).astype(np.float32)
+    out = pt.polyblur_deblurring(img, n_iter=1)
+    assert isinstance(out, np.ndarray) and out.shape == img.shape
+    gray = rng.uniform(size=(48, 40)).astype(np.float32)
+    outg = pt.polyblur_deblurring(gray, n_iter=1)
+    assert outg.shape == gray.shape
+
+
+def test_batch_equals_loop():
+    """vmap semantics: a batch of 2 gives the same answers as 2 separate
+    calls (kernels are estimated per batch element)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(size=(2, 1, 48, 48)).astype(np.float32))
+    both = polyblur_core(x, n_iter=2, alpha=4.0, beta=2.0)
+    one = polyblur_core(x[:1], n_iter=2, alpha=4.0, beta=2.0)
+    two = polyblur_core(x[1:], n_iter=2, alpha=4.0, beta=2.0)
+    np.testing.assert_allclose(both[0], one[0], atol=1e-5, rtol=0)
+    np.testing.assert_allclose(both[1], two[0], atol=1e-5, rtol=0)
+
+
+def test_pipeline_differentiable_through_iterations():
+    """BASELINE config 5: gradient through 3 scanned iterations (training-
+    layer use case), with and without remat."""
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(size=(1, 1, 32, 32)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(size=(1, 1, 32, 32)).astype(np.float32))
+
+    def loss(im, remat=False):
+        out = polyblur_core(im, n_iter=3, alpha=6.0, beta=1.0, remat=remat)
+        return jnp.mean((out - tgt) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
+    g_remat = jax.grad(lambda im: loss(im, remat=True))(x)
+    np.testing.assert_allclose(g, g_remat, atol=1e-6, rtol=0)
+
+
+def test_grad_wrt_pipeline_parameters():
+    """(c, b, alpha, beta) are traced leaves — learnable."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(size=(1, 1, 32, 32)).astype(np.float32))
+
+    def loss(params):
+        out = polyblur_core(x, n_iter=2, c=params[0], b=params[1],
+                            alpha=params[2], beta=params[3])
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(jnp.asarray([0.362, 0.468, 6.0, 1.0]))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_bf16_pipeline_runs_and_tracks_f32():
+    rng = np.random.default_rng(10)
+    xf = jnp.asarray(rng.uniform(size=(1, 1, 64, 64)).astype(np.float32))
+    xb = xf.astype(jnp.bfloat16)
+    of = polyblur_core(xf, n_iter=1, alpha=4.0, beta=2.0)
+    ob = polyblur_core(xb, n_iter=1, alpha=4.0, beta=2.0)
+    assert ob.dtype == jnp.bfloat16
+    assert psnr(np.asarray(ob, np.float32), np.asarray(of)) > 30.0
+
+
+def test_constant_image_stays_finite():
+    """Degenerate input (no gradients) must not NaN — a latent reference
+    defect (normalize divides by max-min == 0); guarded here."""
+    out = polyblur_core(jnp.full((1, 3, 40, 40), 0.5, jnp.float32), n_iter=3,
+                        alpha=6.0, beta=1.0, remove_halo=True)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,132 @@
+"""Parity of the restoration stack: polynomial deconvolution, edgetaper,
+halo masking, bilateral, domain transform."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from polyblur_tpu import restoration
+from polyblur_tpu.edgetaper import edgetaper, edgetaper_alpha
+from polyblur_tpu.ops.bilateral import bilateral_filter
+from polyblur_tpu.ops.domain_transform import (recursive_filter,
+                                               normalized_convolution,
+                                               iir_scan_rows)
+from polyblur_tpu.ops.gaussian import dirac
+from polyblur_tpu.oracle import numpy_ref as oracle
+
+
+def test_polynomial_fft_vs_reference(ref):
+    out = restoration.compute_polynomial(
+        jnp.asarray(ref["grad_in"]), jnp.asarray(ref["p2o_kernel"]),
+        alpha=6.0, beta=1.0, method="fft")
+    np.testing.assert_allclose(out, ref["poly_fft"], atol=5e-5, rtol=0)
+
+
+def test_polynomial_fft_vs_oracle():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(24, 32))
+    k = oracle.gaussian_filter((1.5, 0.8), 0.3, k_size=np.array([15, 15]))
+    out_o = oracle.compute_polynomial_fft(img, k, 4.0, 2.0)
+    out = restoration.compute_polynomial(
+        jnp.asarray(img, jnp.float32)[None, None],
+        jnp.asarray(k, jnp.float32)[None, None], alpha=4.0, beta=2.0,
+        method="fft")
+    np.testing.assert_allclose(out[0, 0], out_o, atol=1e-4, rtol=0)
+
+
+def test_edgetaper_vs_reference(ref):
+    alpha = edgetaper_alpha(jnp.asarray(ref["p2o_kernel"]), (40, 56))
+    np.testing.assert_allclose(alpha, ref["edgetaper_alpha"], atol=1e-5,
+                               rtol=0)
+    out = edgetaper(jnp.asarray(ref["grad_in"]),
+                    jnp.asarray(ref["p2o_kernel"]), method="fft")
+    np.testing.assert_allclose(out, ref["edgetaper_out"], atol=1e-4, rtol=0)
+
+
+def test_inverse_filtering_vs_reference(ref):
+    out = restoration.inverse_filtering_rank3(
+        jnp.asarray(ref["grad_in"]), jnp.asarray(ref["p2o_kernel"]),
+        alpha=6.0, beta=1.0, do_edgetaper=True, method="fft")
+    np.testing.assert_allclose(out, np.clip(ref["invfilt_fft_taper"], 0, 1),
+                               atol=2e-4, rtol=0)
+
+
+def test_bilateral_vs_reference(ref):
+    out = bilateral_filter(jnp.asarray(ref["grad_in"]), ksize=5,
+                           sigma_spatial=5.0, sigma_color=0.1)
+    np.testing.assert_allclose(out, ref["bilateral_out"], atol=1e-5, rtol=0)
+
+
+def test_domain_transform_vs_reference(ref):
+    out = recursive_filter(jnp.asarray(ref["grad_in"]), sigma_s=40.0,
+                           sigma_r=0.1, num_iterations=3)
+    np.testing.assert_allclose(out, ref["domain_transform_out"], atol=1e-4,
+                               rtol=0)
+
+
+def test_iir_scan_matches_sequential():
+    """associative_scan formulation == the literal sequential recurrence."""
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(3, 5, 40)).astype(np.float32)
+    v = rng.uniform(0.1, 0.9, size=(3, 5, 40)).astype(np.float32)
+    out = iir_scan_rows(jnp.asarray(x), jnp.asarray(v))
+
+    y = x.copy()
+    for i in range(1, 40):
+        y[..., i] += v[..., i] * (y[..., i - 1] - y[..., i])
+    z = y.copy()
+    for i in range(38, -1, -1):
+        z[..., i] += v[..., i + 1] * (z[..., i + 1] - z[..., i])
+    np.testing.assert_allclose(out, z, atol=1e-5, rtol=0)
+
+
+def test_normalized_convolution_smooths_but_keeps_edges():
+    # flat regions smooth to near-constant; a strong edge survives
+    img = np.zeros((1, 1, 16, 64), np.float32)
+    img[..., 32:] = 1.0
+    rng = np.random.default_rng(2)
+    noisy = img + rng.normal(0, 0.05, img.shape).astype(np.float32)
+    out = np.asarray(normalized_convolution(jnp.asarray(noisy), sigma_s=20.0,
+                                            sigma_r=0.3, num_iterations=3))
+    assert out[..., :24].std() < noisy[..., :24].std() * 0.5
+    assert (out[..., 40:].mean() - out[..., :24].mean()) > 0.8
+
+
+def test_dirac_kernel_is_near_identity():
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0.2, 0.8, size=(1, 3, 40, 40))
+                      .astype(np.float32))
+    k = jnp.asarray(dirac((25, 25)))[None, None]
+    # alpha=2, beta=4: p(K)=a3K^3+a2K^2+a1K+b with sum = 1 at K=identity
+    out = restoration.inverse_filtering_rank3(img, k, alpha=2.0, beta=4.0,
+                                              method="fft")
+    np.testing.assert_allclose(out, img, atol=1e-4, rtol=0)
+
+
+def test_halo_masking_suppresses_gradient_inversion():
+    # construct an output whose gradient is inverted vs the input
+    x = np.tile(np.linspace(0.0, 1.0, 32, dtype=np.float32), (32, 1))
+    inv = 1.0 - x
+    img = jnp.asarray(x)[None, None]
+    out = jnp.asarray(inv)[None, None]
+    masked = restoration.halo_masking(img, out)
+    # masked result must move toward the input where gradients invert
+    d_before = float(jnp.mean(jnp.abs(out - img)))
+    d_after = float(jnp.mean(jnp.abs(masked - img)))
+    assert d_after < d_before
+
+
+def test_restoration_differentiable():
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.uniform(size=(1, 1, 32, 32)).astype(np.float32))
+    k = jnp.asarray(oracle.gaussian_filter((1.5, 0.8), 0.4,
+                                           k_size=np.array([15, 15])),
+                    jnp.float32)[None, None]
+
+    def loss(im):
+        return jnp.sum(restoration.inverse_filtering_rank3(
+            im, k, alpha=4.0, beta=2.0, method="fft") ** 2)
+
+    g = jax.grad(loss)(img)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.linalg.norm(g)) > 0

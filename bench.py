@@ -29,7 +29,7 @@ def make_12mp_image(rng):
     return np.clip(big, 0.0, 1.0).astype(np.float32).transpose(2, 0, 1)[None]
 
 
-def bench(fn, x, n_runs=5, chain=2):
+def bench(fn, x, n_runs=5, chain=4):
     """Min per-call wall time over n_runs measurements.
 
     On the tunneled TPU backend ``block_until_ready`` returns without
@@ -80,7 +80,7 @@ def main():
 
     fn = jax.jit(functools.partial(
         polyblur_core, n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
-        method="fft"))
+        method="direct_separable"))
 
     dt = bench(fn, tiles)
     mps = mp / dt

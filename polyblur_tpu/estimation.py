@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .ops.fourier import fourier_gradients
+from .ops.fourier import spectral_gradients
 from .ops.gaussian import batch_gaussian_kernels
 
 __all__ = [
@@ -144,7 +144,7 @@ def _estimate_single_channel(img: jnp.ndarray, c, b, q: float,
     else:
         mask = jnp.zeros_like(img, dtype=bool)
     img_norm = normalize_quantiles(img, q=q)
-    gx, gy = fourier_gradients(img_norm)
+    gx, gy = spectral_gradients(img_norm)
     gx = jnp.where(mask, 0.0, gx)
     gy = jnp.where(mask, 0.0, gy)
     mags = compute_gradient_magnitudes(gx, gy, n_angles=n_angles)

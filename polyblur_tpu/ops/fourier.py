@@ -11,7 +11,24 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["fourier_gradients", "p2o", "fft_convolve2d"]
+__all__ = ["fourier_gradients", "spectral_gradients", "p2o", "fft_convolve2d"]
+
+
+def spectral_gradients(images: jnp.ndarray, backend: str = "auto"):
+    """Spectral image gradients, backend-selected.
+
+    Same linear map either way (the matmul operator is built by pushing the
+    identity through the FFT discretization — ops/spectral_matmul.py); the
+    matmul form rides the MXU and wins for the tile sizes of the hot path,
+    the FFT form scales better for very large whole images.
+    """
+    if backend == "auto":
+        backend = "matmul" if max(images.shape[-2:]) <= 1024 else "fft"
+    if backend == "matmul":
+        from .spectral_matmul import fourier_gradients_matmul
+
+        return fourier_gradients_matmul(images)
+    return fourier_gradients(images)
 
 
 def fourier_gradients(images: jnp.ndarray):

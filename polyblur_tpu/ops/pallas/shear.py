@@ -1,0 +1,81 @@
+"""Pallas TPU kernel for the circular row shear (ops/shear.py).
+
+Per-row circular lane shift by d_y = s * (y - yc), bilinear in the
+fraction. The per-row variable shift is decomposed into log2(W) *static*
+circular rolls gated by per-row bit masks — fully vectorized VPU work on a
+VMEM-resident block, no scalar loops and no gathers:
+
+    q_y = floor(d_y) mod Wc                   # in [0, Wc)
+    z   = x
+    for bit b: z = where(bit_b(q_y), roll(z, -2^b), z)
+    out = (1 - a_y) * z + a_y * roll(z, -1)   # fractional blend
+
+This is the TPU-native replacement for the per-pixel bilinear sampling
+loop of the reference's oriented-convolution C++ kernel
+(separable_gaussian2d.cpp:127-156).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..shear import keys_weights
+
+__all__ = ["shear_rows_pallas"]
+
+
+def _shear_kernel(s_ref, x_ref, out_ref, *, frac: bool, n_bits: int):
+    _, h, wc = x_ref.shape
+    s = s_ref[pl.program_id(0)]
+    yc = (h - 1) / 2.0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
+    d = s * (rows - yc)                      # (H,1) signed shift
+    k = jnp.floor(d)
+    a = d - k                                # (H,1) f32 fraction in [0,1)
+    q = jnp.mod(k.astype(jnp.int32), wc)     # (H,1) in [0, Wc)
+
+    # Mosaic's lane rotate only supports 32-bit data — compute in f32.
+    z = x_ref[0].astype(jnp.float32)
+    for b in range(n_bits):
+        step = 1 << b
+        if step >= wc:
+            break
+        bit = jnp.equal(jnp.bitwise_and(q, step), step)  # (H,1) bool
+        # left-roll by `step` == right-roll by wc - step (shift must be >= 0)
+        z = jnp.where(bit, pltpu.roll(z, (wc - step) % wc, axis=1), z)
+    if frac:
+        zm1 = pltpu.roll(z, 1, axis=1)
+        z1 = pltpu.roll(z, wc - 1, axis=1)
+        z2 = pltpu.roll(z, wc - 2, axis=1)
+        wm1, w0, w1, w2 = keys_weights(a)
+        z = wm1 * zm1 + w0 * z + w1 * z1 + w2 * z2
+    out_ref[0] = z.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("frac",))
+def shear_rows_pallas(x: jnp.ndarray, s: jnp.ndarray,
+                      frac: bool = True) -> jnp.ndarray:
+    """(N, H, Wc) circular bilinear row shear, one grid program per image.
+
+    Semantics match ops.shear._shear_rows_jnp exactly:
+    out[n, y, v] = x[n, y, (v + d_y) mod Wc] with bilinear d interpolation.
+    """
+    n, h, wc = x.shape
+    n_bits = max(1, (wc - 1).bit_length())
+    kernel = functools.partial(_shear_kernel, frac=frac, n_bits=n_bits)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h, wc), lambda i, s: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, h, wc), lambda i, s: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, wc), x.dtype),
+    )(s.astype(jnp.float32), x)

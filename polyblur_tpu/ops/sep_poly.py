@@ -1,0 +1,145 @@
+"""Shear-factorized separable polynomial deconvolution — the TPU hot path.
+
+Replaces the FFT polynomial filter (restoration.compute_polynomial_fft) and
+the grouped direct convolution with pure MXU work. The anisotropic Gaussian
+kernel exp(-0.5 (a x^2 + 2 b xy + c y^2)) factorizes exactly as
+
+    K = unshear_s . conv_y(c')  . conv_x(a) . shear_s,
+    s = -b / a,   c' = c - b^2 / a
+
+(sheared-axis separability; same decomposition as the reference's native
+oriented-convolution kernel, separable_gaussian2d.cpp:91-183). The shear
+commutes with every per-row operation, so the *entire* degree-3 polynomial
+p(K) collapses to ONE shear pair around a Horner chain of per-tile band-
+matrix matmuls:
+
+    p(K) u = unshear_s( Horner_{X,V}( shear_s(u) ) )
+
+where X, V are banded Toeplitz matrices of the 1D Gaussian taps. Band
+matrices are materialized dense — on the MXU the dense (Wc x Wc) matmul is
+far cheaper than any gather-based sparse alternative, and one X (or V)
+application over the whole tile batch is a single large batched matmul.
+
+Trade-off vs the reference direct path: the 25-tap truncation window is a
+sheared parallelogram instead of a square (exactly like the reference's
+own xt C++ path), and |s| is clamped to ``smax`` (extreme anisotropy at
+~45 deg is slightly rounded). Interior agreement with the exact direct
+path is tested to ~1e-3.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from .shear import shear_rows
+
+__all__ = ["compute_polynomial_separable", "gaussian_quadratic_coeffs"]
+
+_HALF = 12  # fixed 25-tap support, matching ker_size=25 (deblurring.py:23)
+
+
+def gaussian_quadratic_coeffs(sigma, rho, theta):
+    """(a, b, c) of the kernel's quadratic form, from (sigma, rho, theta).
+
+    Matches the inverse covariance of blur_estimation.py:189-208 (note the
+    reference negates theta): a multiplies x^2 (columns), c multiplies y^2
+    (rows), b the cross term.
+    """
+    t = -theta
+    ct = jnp.cos(t)
+    st = jnp.sin(t)
+    inv_l1 = 1.0 / (sigma * sigma)
+    inv_l2 = 1.0 / (rho * rho)
+    a = ct * ct * inv_l1 + st * st * inv_l2
+    b = st * ct * (inv_l1 - inv_l2)
+    c = ct * ct * inv_l2 + st * st * inv_l1
+    return a, b, c
+
+
+def _gauss_taps(coef, dtype):
+    """L1-normalized 25 taps of exp(-0.5 * coef * t^2). coef: (N,)."""
+    t = jnp.arange(-_HALF, _HALF + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * coef[:, None] * (t * t)[None, :])
+    return (k / jnp.sum(k, axis=-1, keepdims=True)).astype(dtype)
+
+
+def _band_matrix(taps: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(N, n, n) 'same' convolution operators from (N, 25) taps.
+
+    M[i, u, v] = taps[i, u - v + HALF] for |u - v| <= HALF else 0;
+    out[u] = sum_v M[u, v] in[v]. (Gaussian taps are symmetric, so
+    correlation == convolution.)
+    """
+    u = jnp.arange(n)[:, None]
+    v = jnp.arange(n)[None, :]
+    d = u - v  # (n, n)
+    inside = jnp.abs(d) <= _HALF
+    idx = jnp.clip(d + _HALF, 0, 2 * _HALF)
+    gathered = taps[:, idx]  # (N, n, n)
+    return jnp.where(inside[None], gathered, 0)
+
+
+def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
+                                 alpha, beta, smax: float = 3.0) -> jnp.ndarray:
+    """Degree-3 polynomial deconvolution with per-sample Gaussian params.
+
+    :param img: (B, C, H, W) tile batch, already replicate-padded by the
+        kernel half-support (utils.pad_with_kernel semantics)
+    :param sigma, rho, theta: (B, C) or (B, 1) per-sample blur parameters
+    :param alpha, beta: scalar (or traced) polynomial gains
+    :return: (B, C, H, W) — same shape, crop handled by the caller
+
+    Matmuls accumulate in f32 regardless of image dtype.
+    """
+    bsz, csz, h, w = img.shape
+    if sigma.ndim != 2:
+        raise ValueError("sigma/rho/theta must be (B, C') arrays")
+    if sigma.shape[1] != csz:
+        sigma = jnp.broadcast_to(sigma, (bsz, csz))
+        rho = jnp.broadcast_to(rho, (bsz, csz))
+        theta = jnp.broadcast_to(theta, (bsz, csz))
+    a, b, c = gaussian_quadratic_coeffs(
+        sigma.reshape(-1).astype(jnp.float32),
+        rho.reshape(-1).astype(jnp.float32),
+        theta.reshape(-1).astype(jnp.float32))
+    n = bsz * csz
+
+    s = jnp.clip(-b / a, -smax, smax)
+    c_prime = jnp.maximum(c - (b * b) / a, 1e-4)
+
+    # canvas: sheared-line sampling reaches at most HALF * smax columns
+    margin = int(math.ceil(_HALF * smax))
+    wc = int((w + 2 * margin + 7) // 8 * 8)
+    pad_l = (wc - w) // 2
+    x = jnp.zeros((n, h, wc), img.dtype)
+    x = x.at[:, :, pad_l:pad_l + w].set(img.reshape(n, h, w))
+
+    dt = img.dtype
+    xmat = _band_matrix(_gauss_taps(a, dt), wc)        # (N, Wc, Wc)
+    vmat = _band_matrix(_gauss_taps(c_prime, dt), h)   # (N, H, H)
+
+    def xconv(u):
+        return jnp.einsum("nuv,nhv->nhu", xmat, u,
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    def vconv(u):
+        return jnp.einsum("nyz,nzw->nyw", vmat, u,
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    a3 = (alpha / 2.0 - beta + 2.0)
+    a2 = (3.0 * beta - alpha - 6.0)
+    a1 = (5.0 - 3.0 * beta + alpha / 2.0)
+
+    # p(K)u = beta*u + Ush( V (a1 w + X V (a2 w + X V (a3 w))) ),
+    # w = Sh(X u). Both interpolating transforms act on Gaussian-smoothed
+    # content (X u going in, V...-smoothed coming out) and the identity
+    # term bypasses interpolation entirely — this kills the double-
+    # interpolation error of the naive Sh . Horner . Ush ordering.
+    w_t = shear_rows(xconv(x), s)
+    r = a3 * w_t
+    r = a2 * w_t + xconv(vconv(r))
+    r = a1 * w_t + xconv(vconv(r))
+    out = beta * x + shear_rows(vconv(r), -s)
+    return out[:, :, pad_l:pad_l + w].reshape(bsz, csz, h, w)

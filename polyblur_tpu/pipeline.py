@@ -23,7 +23,7 @@ from . import restoration
 from .estimation import gaussian_blur_estimation
 from .ops.bilateral import bilateral_filter
 from .ops.domain_transform import recursive_filter
-from .ops.fourier import fourier_gradients
+from .ops.fourier import spectral_gradients
 
 __all__ = ["polyblur_core", "edge_aware_filtering"]
 
@@ -68,7 +68,7 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
     polynomial inverse filter, clip. ``grad_img`` for halo masking is
     computed once from the original input (deblurring.py:61).
     """
-    grad_img = fourier_gradients(img) if remove_halo else None
+    grad_img = spectral_gradients(img) if remove_halo else None
     return_2d_filters = method != "direct_separable"
 
     def body(impred, _):

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .ops.conv import convolve2d
-from .ops.fourier import fourier_gradients, p2o
+from .ops.fourier import fourier_gradients, spectral_gradients, p2o
 from .utils.imaging import pad_with_kernel, crop_with_kernel
 from . import edgetaper as _edgetaper
 
@@ -80,9 +80,19 @@ def compute_polynomial_direct(img: jnp.ndarray, kernel, alpha, beta,
 
 def compute_polynomial(img, kernel, alpha, beta, method: str = "fft",
                        not_symmetric: bool = False):
-    """Backend dispatcher (deblurring.py:113-119)."""
+    """Backend dispatcher (deblurring.py:113-119).
+
+    ``direct_separable`` with a ``(sigma, rho, theta)`` kernel tuple takes
+    the shear-factorized MXU hot path (ops/sep_poly.py) — the TPU-native
+    equivalent of the reference's oriented separable C++ kernel.
+    """
     if method == "fft":
         return compute_polynomial_fft(img, kernel, alpha, beta, not_symmetric)
+    if method == "direct_separable" and isinstance(kernel, (tuple, list)):
+        from .ops.sep_poly import compute_polynomial_separable
+
+        sigma, rho, theta = kernel
+        return compute_polynomial_separable(img, sigma, rho, theta, alpha, beta)
     if method in ("direct", "direct_separable"):
         return compute_polynomial_direct(img, kernel, alpha, beta, method)
     raise ValueError(f"{method!r} not implemented")
@@ -97,10 +107,10 @@ def halo_masking(img: jnp.ndarray, imout: jnp.ndarray,
     (deblurring.py:193-208 with the grad_prod_ bug fixed).
     """
     if grad_img is None:
-        grad_x, grad_y = fourier_gradients(img)
+        grad_x, grad_y = spectral_gradients(img)
     else:
         grad_x, grad_y = grad_img
-    gout_x, gout_y = fourier_gradients(imout)
+    gout_x, gout_y = spectral_gradients(imout)
     M = (-grad_x * gout_x) + (-grad_y * gout_y)
     nM = jnp.sum(grad_x * grad_x + grad_y * grad_y, axis=(-2, -1), keepdims=True)
     # 1e-12 guard: keeps gradient-free (constant) images finite; inert otherwise.

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..shear import keys_weights
+from ..shear import lanczos3_weights
 
 __all__ = ["shear_rows_pallas"]
 
@@ -39,27 +39,41 @@ def _shear_kernel(s_ref, x_ref, out_ref, *, frac: bool, n_bits: int):
     a = d - k                                # (H,1) f32 fraction in [0,1)
     q = jnp.mod(k.astype(jnp.int32), wc)     # (H,1) in [0, Wc)
 
-    # Mosaic's lane rotate only supports 32-bit data — compute in f32.
+    def lroll(v, k):
+        """Circular left-roll by static k: out[x] = v[(x + k) mod wc].
+
+        Static slice + concat lowers to plain vector moves — measured ~1.5x
+        faster than pltpu.roll AND ~100x faster to Mosaic-compile (the
+        rotate primitive lowers to dynamic-rotate machinery even for
+        static shifts).
+        """
+        k = k % wc
+        if k == 0:
+            return v
+        return jnp.concatenate([v[:, k:], v[:, :k]], axis=1)
+
+    # Mosaic's f32 vector path; bf16 inputs are upcast on load.
     z = x_ref[0].astype(jnp.float32)
     for b in range(n_bits):
         step = 1 << b
         if step >= wc:
             break
         bit = jnp.equal(jnp.bitwise_and(q, step), step)  # (H,1) bool
-        # left-roll by `step` == right-roll by wc - step (shift must be >= 0)
-        z = jnp.where(bit, pltpu.roll(z, (wc - step) % wc, axis=1), z)
+        z = jnp.where(bit, lroll(z, step), z)
     if frac:
-        zm1 = pltpu.roll(z, 1, axis=1)
-        z1 = pltpu.roll(z, wc - 1, axis=1)
-        z2 = pltpu.roll(z, wc - 2, axis=1)
-        wm1, w0, w1, w2 = keys_weights(a)
-        z = wm1 * zm1 + w0 * z + w1 * z1 + w2 * z2
+        ws = lanczos3_weights(a)
+        acc = ws[2] * z
+        for j, wj in zip((-2, -1, 1, 2, 3),
+                         (ws[0], ws[1], ws[3], ws[4], ws[5])):
+            acc = acc + wj * lroll(z, j)
+        z = acc
     out_ref[0] = z.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("frac",))
+@functools.partial(jax.jit, static_argnames=("frac", "interpret"))
 def shear_rows_pallas(x: jnp.ndarray, s: jnp.ndarray,
-                      frac: bool = True) -> jnp.ndarray:
+                      frac: bool = True,
+                      interpret: bool = False) -> jnp.ndarray:
     """(N, H, Wc) circular bilinear row shear, one grid program per image.
 
     Semantics match ops.shear._shear_rows_jnp exactly:
@@ -78,4 +92,5 @@ def shear_rows_pallas(x: jnp.ndarray, s: jnp.ndarray,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, h, wc), x.dtype),
+        interpret=interpret,
     )(s.astype(jnp.float32), x)

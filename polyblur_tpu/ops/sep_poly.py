@@ -82,17 +82,27 @@ def _band_matrix(taps: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
-                                 alpha, beta, smax: float = 3.0) -> jnp.ndarray:
+                                 alpha, beta, smax: float = 2.0,
+                                 prepad: bool = False) -> jnp.ndarray:
     """Degree-3 polynomial deconvolution with per-sample Gaussian params.
 
-    :param img: (B, C, H, W) tile batch, already replicate-padded by the
-        kernel half-support (utils.pad_with_kernel semantics)
+    :param img: (B, C, H, W) tile batch. With ``prepad`` the replicate
+        padding by the kernel half-support (utils.pad_with_kernel
+        semantics) and the final crop are fused in here (one copy pass
+        instead of three); otherwise the caller has padded already.
     :param sigma, rho, theta: (B, C) or (B, 1) per-sample blur parameters
     :param alpha, beta: scalar (or traced) polynomial gains
-    :return: (B, C, H, W) — same shape, crop handled by the caller
+    :return: same shape as ``img``
 
-    Matmuls accumulate in f32 regardless of image dtype.
+    Matmuls accumulate in f32 regardless of image dtype. ``smax`` clamps
+    the shear slope; anisotropy ratios up to ~4 at any angle are exact.
     """
+    if prepad:
+        out = compute_polynomial_separable(
+            jnp.pad(img, [(0, 0), (0, 0), (_HALF, _HALF), (_HALF, _HALF)],
+                    mode="edge"),
+            sigma, rho, theta, alpha, beta, smax=smax, prepad=False)
+        return out[..., _HALF:-_HALF, _HALF:-_HALF]
     bsz, csz, h, w = img.shape
     if sigma.ndim != 2:
         raise ValueError("sigma/rho/theta must be (B, C') arrays")
@@ -120,8 +130,10 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
     xmat = _band_matrix(_gauss_taps(a, dt), wc)        # (N, Wc, Wc)
     vmat = _band_matrix(_gauss_taps(c_prime, dt), h)   # (N, H, H)
 
+    # Band matrices are symmetric (Gaussian taps), so the natural
+    # contraction layouts below need no operand transpose on the MXU.
     def xconv(u):
-        return jnp.einsum("nuv,nhv->nhu", xmat, u,
+        return jnp.einsum("nhv,nvu->nhu", u, xmat,
                           preferred_element_type=jnp.float32).astype(dt)
 
     def vconv(u):

@@ -1,0 +1,105 @@
+"""Native host runtime + loaders + layers + CLI smoke tests."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from polyblur_tpu.runtime import native
+from polyblur_tpu.patches import plan_patch_grid, extract_patches, overlap_add
+from polyblur_tpu.utils.imaging import build_window
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+PEACOCK = os.path.join(DATA, "peacock_defocus.png")
+
+
+def test_native_builds_and_reports():
+    # native path preferred, but a numpy fallback must exist either way
+    assert native.extract_tiles is not None
+    print("native:", native.native_available())
+
+
+def test_native_decode_matches_pil():
+    if not native.native_available():
+        pytest.skip("no native library")
+    from polyblur_tpu.utils.io import imread_float
+
+    a = native.decode_image(PEACOCK)
+    b = imread_float(PEACOCK)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_native_tiles_match_jax():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(2, 3, 150, 210)).astype(np.float32)
+    grid = plan_patch_grid(150, 210, 64, 0.25)
+    t_native = native.extract_tiles(x, grid)
+    t_jax = np.asarray(extract_patches(jnp.asarray(x), grid))
+    np.testing.assert_array_equal(t_native, t_jax)
+
+
+def test_native_overlap_add_matches_jax():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(1, 3, 150, 210)).astype(np.float32)
+    grid = plan_patch_grid(150, 210, 64, 0.25)
+    tiles = native.extract_tiles(x, grid)
+    win = np.asarray(build_window(grid.patch_size, "kaiser"))
+    a = native.overlap_add_host(tiles, grid, 1, win)
+    b = np.asarray(overlap_add(jnp.asarray(tiles), grid, 1))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    # tiling with no processing reconstructs the input
+    np.testing.assert_allclose(a, x, atol=1e-5)
+
+
+def test_burst_loader_yields_staged_tiles():
+    from polyblur_tpu.runtime.loader import BurstLoader
+
+    loader = BurstLoader([PEACOCK, PEACOCK], patch_size=256, prefetch=1)
+    items = list(loader)
+    assert len(items) == 2
+    tiles, grid, meta = items[0]
+    assert tiles.ndim == 4 and tiles.shape[1] == 3
+    assert tiles.shape[-2:] == (256, 256)
+    assert meta["path"] == PEACOCK
+
+
+def test_flax_layer_end_to_end():
+    flax = pytest.importorskip("flax")
+    del flax
+    import jax
+    from polyblur_tpu.layers import PolyblurLayer
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(size=(1, 1, 48, 48)).astype(np.float32))
+    layer = PolyblurLayer(n_iter=2, learnable=True)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    assert {"c", "b", "alpha", "beta"} <= set(params["params"].keys())
+    out = layer.apply(params, x)
+    assert out.shape == x.shape
+
+    def loss(p):
+        return jnp.mean((layer.apply(p, x) - 0.5) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(v)).all() for v in leaves)
+
+
+def test_cli_demo_runs(tmp_path):
+    from polyblur_tpu.cli.main import main
+
+    out = main(["--impath", PEACOCK, "--N", "1", "--alpha", "6",
+                "--beta", "1", "--outdir", str(tmp_path),
+                "--do_patch_decomposition", "true", "--patch_size", "256"])
+    assert os.path.exists(out)
+
+
+def test_cli_calibrate_smoke():
+    from polyblur_tpu.cli.calibrate import main
+
+    res = main(["--n_kernels", "4", "--n_synthetic", "2",
+                "--patch_size", "128"])
+    assert set(res) == {"normal", "orthogonal"}
+    assert res["normal"]["c"] > 0

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..shear import lanczos3_weights
+from ..shear import keys_weights
 
 __all__ = ["shear_rows_pallas"]
 
@@ -61,11 +61,15 @@ def _shear_kernel(s_ref, x_ref, out_ref, *, frac: bool, n_bits: int):
         bit = jnp.equal(jnp.bitwise_and(q, step), step)  # (H,1) bool
         z = jnp.where(bit, lroll(z, step), z)
     if frac:
-        ws = lanczos3_weights(a)
-        acc = ws[2] * z
-        for j, wj in zip((-2, -1, 1, 2, 3),
-                         (ws[0], ws[1], ws[3], ws[4], ws[5])):
-            acc = acc + wj * lroll(z, j)
+        # Keys-cubic tail, sequential accumulation: 4 taps measured ~3.5x
+        # faster than 6-tap Lanczos on v5e (register pressure), and the
+        # sequential form compiles ~300x faster in Mosaic than the
+        # sum-of-products form.
+        wm1, w0, w1, w2 = keys_weights(a)
+        acc = w0 * z
+        acc = acc + wm1 * lroll(z, -1)
+        acc = acc + w1 * lroll(z, 1)
+        acc = acc + w2 * lroll(z, 2)
         z = acc
     out_ref[0] = z.astype(out_ref.dtype)
 

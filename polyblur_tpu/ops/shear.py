@@ -78,7 +78,7 @@ def lanczos3_weights(f):
 def _shear_rows_jnp(x: jnp.ndarray, s: jnp.ndarray, frac: bool) -> jnp.ndarray:
     """Reference implementation: circular per-row cubic column shift.
 
-    out[n, y, v] = x[n, y, (v + d) mod W], Lanczos-3 in d = s_n * (y - yc)
+    out[n, y, v] = x[n, y, (v + d) mod W], Keys-cubic in d = s_n * (y - yc)
     (frac=False: integer floor shift only).
     """
     n, h, w = x.shape
@@ -92,10 +92,11 @@ def _shear_rows_jnp(x: jnp.ndarray, s: jnp.ndarray, frac: bool) -> jnp.ndarray:
     g0 = jnp.take_along_axis(x, idx0, axis=-1)
     if not frac:
         return g0
-    ws = lanczos3_weights(a)
-    out = ws[2] * g0
-    for j, wj in zip((-2, -1, 1, 2, 3), (ws[0], ws[1], ws[3], ws[4], ws[5])):
-        out = out + wj * jnp.take_along_axis(x, jnp.mod(idx0 + j, w), axis=-1)
+    wm1, w0, w1, w2 = keys_weights(a)
+    out = w0 * g0
+    out = out + wm1 * jnp.take_along_axis(x, jnp.mod(idx0 - 1, w), axis=-1)
+    out = out + w1 * jnp.take_along_axis(x, jnp.mod(idx0 + 1, w), axis=-1)
+    out = out + w2 * jnp.take_along_axis(x, jnp.mod(idx0 + 2, w), axis=-1)
     return out
 
 

@@ -32,7 +32,7 @@ def test_shear_matches_manual_sampling():
     s = np.asarray([0.5, -1.25, 2.0], np.float32)
     out = np.asarray(_shear_rows_jnp(jnp.asarray(x), jnp.asarray(s), True))
 
-    from polyblur_tpu.ops.shear import lanczos3_weights
+    from polyblur_tpu.ops.shear import keys_weights
 
     yc = (h - 1) / 2.0
     for i in range(n):
@@ -40,10 +40,10 @@ def test_shear_matches_manual_sampling():
             d = s[i] * (y - yc)
             k = int(np.floor(d))
             a = d - k
-            ws = [float(v) for v in lanczos3_weights(jnp.float32(a))]
+            ws = [float(v) for v in keys_weights(jnp.float32(a))]
             expect = sum(
                 wj * np.roll(x[i, y], -(k + off))
-                for wj, off in zip(ws, range(-2, 4)))
+                for wj, off in zip(ws, range(-1, 3)))
             np.testing.assert_allclose(out[i, y], expect, atol=1e-5)
 
 

@@ -1,0 +1,70 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from polyblur_tpu.parallel.sharding import (make_mesh, deblur_sharded,
+                                            data_parallel_deblur,
+                                            training_step)
+from polyblur_tpu.pipeline import polyblur_core
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_tile_sharded_matches_single_device():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(1, 3, 96, 96)).astype(np.float32))
+    mesh = make_mesh(jax.devices()[:8], data_axis=1)
+    sharded = deblur_sharded(img, mesh, patch_size=32, overlap=0.25,
+                             n_iter=2, alpha=6.0, beta=1.0)
+    from polyblur_tpu.patches import deblur_patches
+
+    single = deblur_patches(img, patch_size=32, overlap=0.25, n_iter=2,
+                            alpha=6.0, beta=1.0)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-5, rtol=0)
+
+
+@needs_8
+def test_data_parallel_matches_single_device():
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.uniform(size=(8, 1, 64, 64)).astype(np.float32))
+    mesh = make_mesh(jax.devices()[:8], data_axis=2)
+    dp = data_parallel_deblur(imgs, mesh, n_iter=1, alpha=4.0, beta=2.0)
+    ref = polyblur_core(imgs, n_iter=1, alpha=4.0, beta=2.0)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(ref), atol=1e-5,
+                               rtol=0)
+
+
+@needs_8
+def test_training_step_reduces_loss_and_syncs_grads():
+    rng = np.random.default_rng(2)
+    blurry = jnp.asarray(rng.uniform(size=(4, 1, 48, 48)).astype(np.float32))
+    sharp = jnp.clip(blurry * 1.05, 0, 1)
+    mesh = make_mesh(jax.devices()[:8], data_axis=2)
+    params = {"c": jnp.float32(0.362), "b": jnp.float32(0.468),
+              "alpha": jnp.float32(6.0), "beta": jnp.float32(1.0)}
+    p1, l1 = training_step(params, blurry, sharp, mesh, lr=1.0, n_iter=1)
+    p2, l2 = training_step(p1, blurry, sharp, mesh, lr=1.0, n_iter=1)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    # at least one parameter moved; all stayed finite
+    moved = [k for k in params if float(p1[k]) != float(params[k])]
+    assert moved, p1
+    for v in p2.values():
+        assert np.isfinite(float(v))
+
+
+@needs_8
+def test_uneven_tiles_padded_shard():
+    # 9 tiles over 4-way tile axis -> padding path
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(size=(1, 1, 96, 96)).astype(np.float32))
+    mesh = make_mesh(jax.devices()[:8], data_axis=2)  # tile axis = 4
+    out = deblur_sharded(img, mesh, patch_size=32, overlap=0.25, n_iter=1)
+    assert out.shape == (1, 1, 96, 96)
+    assert np.isfinite(np.asarray(out)).all()

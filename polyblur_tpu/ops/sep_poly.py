@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from .shear import shear_rows
@@ -65,20 +66,40 @@ def _gauss_taps(coef, dtype):
     return (k / jnp.sum(k, axis=-1, keepdims=True)).astype(dtype)
 
 
+def _tap_inv_norm(coef):
+    """1 / sum of the RAW (unnormalized) 25 Gaussian taps. coef: (N,)."""
+    t = jnp.arange(-_HALF, _HALF + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * coef[:, None] * (t * t)[None, :])
+    return 1.0 / jnp.sum(k, axis=-1)
+
+
 def _band_matrix(taps: jnp.ndarray, n: int) -> jnp.ndarray:
     """(N, n, n) 'same' convolution operators from (N, 25) taps.
 
     M[i, u, v] = taps[i, u - v + HALF] for |u - v| <= HALF else 0;
     out[u] = sum_v M[u, v] in[v]. (Gaussian taps are symmetric, so
     correlation == convolution.)
+
+    Built with the Toeplitz pad-and-reshape trick — one broadcast + one
+    reshape, no gathers (an elementwise gather over n^2 indices costs ~5x
+    the whole matmul that consumes the matrix on TPU): tiling the row
+    template [t_24..t_0, 0 x (n-24)] of length n+1 then dropping the last
+    column slides the taps one column per row, i.e. lays them on the
+    diagonals.
     """
-    u = jnp.arange(n)[:, None]
-    v = jnp.arange(n)[None, :]
-    d = u - v  # (n, n)
-    inside = jnp.abs(d) <= _HALF
-    idx = jnp.clip(d + _HALF, 0, 2 * _HALF)
-    gathered = taps[:, idx]  # (N, n, n)
-    return jnp.where(inside[None], gathered, 0)
+    m = taps.shape[0]
+    wide = n + _HALF  # build width n + 12, crop the first 12 columns
+    L = wide + 1
+    # row template: reversed taps then zeros, length L; tiling n rows and
+    # dropping one column per row yields T[r, v'] = tmpl[(v' - r) mod L],
+    # i.e. the taps slide one column right per row.
+    tmpl = jnp.concatenate(
+        [taps[:, ::-1], jnp.zeros((m, L - (2 * _HALF + 1)), taps.dtype)],
+        axis=1)  # (N, L)
+    full = jnp.broadcast_to(tmpl[:, None, :], (m, n, L))
+    full = full.reshape(m, n * L)[:, : n * wide].reshape(m, n, wide)
+    # M[u, v] = taps_rev[v - (u - HALF)] = T[u, v + HALF]
+    return full[:, :, _HALF:]
 
 
 def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
@@ -123,10 +144,34 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
     margin = int(math.ceil(_HALF * smax))
     wc = int((w + 2 * margin + 7) // 8 * 8)
     pad_l = (wc - w) // 2
-    x = jnp.zeros((n, h, wc), img.dtype)
-    x = x.at[:, :, pad_l:pad_l + w].set(img.reshape(n, h, w))
 
     dt = img.dtype
+
+    a3 = (alpha / 2.0 - beta + 2.0)
+    a2 = (3.0 * beta - alpha - 6.0)
+    a1 = (5.0 - 3.0 * beta + alpha / 2.0)
+
+    # p(K)u = beta*u + Ush( V (a1 w + X V (a2 w + X V (a3 w))) ),
+    # w = Sh(X u). Both interpolating transforms act on Gaussian-smoothed
+    # content (X u going in, V...-smoothed coming out) and the identity
+    # term bypasses interpolation entirely — this kills the double-
+    # interpolation error of the naive Sh . Horner . Ush ordering.
+    if jax.default_backend() == "tpu":
+        # One fused VMEM-resident Pallas program per (tile, channel); the
+        # band operators are rebuilt analytically in VMEM from 5 scalars
+        # per tile (materializing them in HBM costs more than the matmuls
+        # that consume them).
+        from .pallas.sep_poly_fused import fused_polynomial_pallas
+
+        inv_nx = _tap_inv_norm(a)
+        inv_nv = _tap_inv_norm(c_prime)
+        params = jnp.stack([s, a, c_prime, inv_nx, inv_nv], axis=-1)
+        coeffs = jnp.stack([jnp.asarray(v, jnp.float32)
+                            for v in (a3, a2, a1, beta)])
+        out = fused_polynomial_pallas(img.reshape(n, h, w), params, coeffs,
+                                      margin)
+        return out.reshape(bsz, csz, h, w)
+
     xmat = _band_matrix(_gauss_taps(a, dt), wc)        # (N, Wc, Wc)
     vmat = _band_matrix(_gauss_taps(c_prime, dt), h)   # (N, H, H)
 
@@ -140,15 +185,8 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
         return jnp.einsum("nyz,nzw->nyw", vmat, u,
                           preferred_element_type=jnp.float32).astype(dt)
 
-    a3 = (alpha / 2.0 - beta + 2.0)
-    a2 = (3.0 * beta - alpha - 6.0)
-    a1 = (5.0 - 3.0 * beta + alpha / 2.0)
-
-    # p(K)u = beta*u + Ush( V (a1 w + X V (a2 w + X V (a3 w))) ),
-    # w = Sh(X u). Both interpolating transforms act on Gaussian-smoothed
-    # content (X u going in, V...-smoothed coming out) and the identity
-    # term bypasses interpolation entirely — this kills the double-
-    # interpolation error of the naive Sh . Horner . Ush ordering.
+    x = jnp.zeros((n, h, wc), img.dtype)
+    x = x.at[:, :, pad_l:pad_l + w].set(img.reshape(n, h, w))
     w_t = shear_rows(xconv(x), s)
     r = a3 * w_t
     r = a2 * w_t + xconv(vconv(r))

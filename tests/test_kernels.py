@@ -185,3 +185,38 @@ def test_separable_pipeline_quality_close_to_fft(peacock):
     deltas = np.asarray(deltas)
     assert abs(deltas.mean()) < 0.1, deltas
     assert np.abs(deltas).max() < 0.5, deltas
+
+
+def test_fused_polynomial_interpret_matches_xla():
+    from polyblur_tpu.ops.pallas.sep_poly_fused import (
+        fused_polynomial_pallas, _xla_reference)
+    from polyblur_tpu.ops.sep_poly import gaussian_quadratic_coeffs
+
+    rng = np.random.default_rng(11)
+    n, h, w = 3, 48, 72
+    margin = 24
+    x = jnp.asarray(rng.uniform(size=(n, h, w)).astype(np.float32))
+    sg = jnp.asarray([1.8, 1.0, 2.5]); rh = jnp.asarray([0.7, 1.0, 0.5])
+    th = jnp.asarray([0.4, 0.0, 1.1])
+    a, b, c = gaussian_quadratic_coeffs(sg, rh, th)
+    s = jnp.clip(-b / a, -2.0, 2.0)
+    cp = jnp.maximum(c - b * b / a, 1e-4)
+    from polyblur_tpu.ops.sep_poly import _tap_inv_norm
+
+    inx = _tap_inv_norm(a)
+    inv = _tap_inv_norm(cp)
+    params = jnp.stack([s, a, cp, inx, inv], axis=-1)
+    coeffs = jnp.asarray([4.0, -5.0, 2.0, 1.0], jnp.float32)
+    ref = _xla_reference(x, params, coeffs, margin)
+    out = fused_polynomial_pallas(x, params, coeffs, margin, True)
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=0)
+
+    # gradient path (backward runs the XLA composition), incl. params
+    def loss(x_, p_):
+        return jnp.sum(fused_polynomial_pallas(x_, p_, coeffs, margin,
+                                               True) ** 2)
+
+    gx, gp = jax.grad(loss, argnums=(0, 1))(x, params)
+    assert np.isfinite(np.asarray(gx)).all()
+    assert np.isfinite(np.asarray(gp)).all()
+    assert float(jnp.linalg.norm(gp)) > 0

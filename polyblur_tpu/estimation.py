@@ -133,21 +133,55 @@ def compute_gaussian_parameters(magnitudes_normal: jnp.ndarray,
     return sigma, rho
 
 
+def _mags_xla(img: jnp.ndarray, n_angles: int) -> jnp.ndarray:
+    """normalize -> spectral gradients -> directional maxima (q=0 path)."""
+    img_norm = normalize_quantiles(img, q=0.0)
+    gx, gy = spectral_gradients(img_norm)
+    return compute_gradient_magnitudes(gx, gy, n_angles=n_angles)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _mags_fast(img: jnp.ndarray, n_angles: int) -> jnp.ndarray:
+    """Directional maxima via the fused Pallas reduction (the BASELINE
+    north-star kernel) on TPU; the XLA chain elsewhere and in the VJP."""
+    if jax.default_backend() == "tpu":
+        from .ops.pallas.est_fused import directional_maxima_pallas
+
+        return directional_maxima_pallas(img, n_angles=n_angles).astype(
+            img.dtype)
+    return _mags_xla(img, n_angles)
+
+
+def _mags_fast_fwd(img, n_angles):
+    return _mags_fast(img, n_angles), img
+
+
+def _mags_fast_bwd(n_angles, img, g):
+    _, vjp = jax.vjp(lambda x: _mags_xla(x, n_angles), img)
+    return vjp(g)
+
+
+_mags_fast.defvjp(_mags_fast_fwd, _mags_fast_bwd)
+
+
 def _estimate_single_channel(img: jnp.ndarray, c, b, q: float,
                              discard_saturation: bool,
                              thetas: jnp.ndarray,
                              interpolated_thetas: jnp.ndarray,
                              n_angles: int):
     """(sigma, rho, theta) for one (B, 1, H, W) image stack."""
-    if discard_saturation:
-        mask = img > 0.99
+    if q == 0.0 and not discard_saturation:
+        mags = _mags_fast(img, n_angles)
     else:
-        mask = jnp.zeros_like(img, dtype=bool)
-    img_norm = normalize_quantiles(img, q=q)
-    gx, gy = spectral_gradients(img_norm)
-    gx = jnp.where(mask, 0.0, gx)
-    gy = jnp.where(mask, 0.0, gy)
-    mags = compute_gradient_magnitudes(gx, gy, n_angles=n_angles)
+        if discard_saturation:
+            mask = img > 0.99
+        else:
+            mask = jnp.zeros_like(img, dtype=bool)
+        img_norm = normalize_quantiles(img, q=q)
+        gx, gy = spectral_gradients(img_norm)
+        gx = jnp.where(mask, 0.0, gx)
+        gy = jnp.where(mask, 0.0, gy)
+        mags = compute_gradient_magnitudes(gx, gy, n_angles=n_angles)
     m_n, m_o, theta = find_maximal_blur_direction(mags, thetas, interpolated_thetas)
     sigma, rho = compute_gaussian_parameters(m_n, m_o, c=c, b=b)
     return sigma, rho, theta

@@ -77,10 +77,9 @@ def _band_operator(coef, inv_norm, n, dtype):
     return jnp.where(jnp.abs(d) <= float(_HALF), band, 0.0).astype(dtype)
 
 
-def _make_kernel(margin: int):
+def _make_kernel(margin: int, replicate_pad: bool):
     def kernel(p_ref, co_ref, x_ref, out_ref):
-        _, h, w_in = x_ref.shape
-        wc = w_in + 2 * margin
+        _, h_in, w_raw = x_ref.shape
         i = pl.program_id(0)
         s = p_ref[i, 0]
         coef_x = p_ref[i, 1]
@@ -92,8 +91,20 @@ def _make_kernel(margin: int):
         a1 = co_ref[2]
         beta = co_ref[3]
 
-        xin = x_ref[0]  # (H, W) padded tile
+        xin = x_ref[0]  # (H, W) tile
         dt = xin.dtype
+        if replicate_pad:
+            # replicate-pad rows and columns by the kernel half-support in
+            # VMEM (pad_with_kernel semantics, utils.py:48-53)
+            top = jnp.broadcast_to(xin[:1], (_HALF, w_raw))
+            bot = jnp.broadcast_to(xin[-1:], (_HALF, w_raw))
+            xin = jnp.concatenate([top, xin, bot], axis=0)
+            left = jnp.broadcast_to(xin[:, :1], (xin.shape[0], _HALF))
+            right = jnp.broadcast_to(xin[:, -1:], (xin.shape[0], _HALF))
+            xin = jnp.concatenate([left, xin, right], axis=1)
+        h = h_in + 2 * _HALF if replicate_pad else h_in
+        w_in = w_raw + 2 * _HALF if replicate_pad else w_raw
+        wc = w_in + 2 * margin
         zmargin = jnp.zeros((h, margin), dt)
         x = jnp.concatenate([zmargin, xin, zmargin], axis=1)  # (H, Wc)
 
@@ -114,12 +125,18 @@ def _make_kernel(margin: int):
         r = a2 * w + xconv(vconv(r))
         r = a1 * w + xconv(vconv(r))
         out = beta * x.astype(jnp.float32) + _row_shift(vconv(r), -s, h, wc)
-        out_ref[0] = out[:, margin:margin + w_in].astype(out_ref.dtype)
+        if replicate_pad:
+            out_ref[0] = out[_HALF:h - _HALF,
+                             margin + _HALF:margin + w_in - _HALF].astype(
+                                 out_ref.dtype)
+        else:
+            out_ref[0] = out[:, margin:margin + w_in].astype(out_ref.dtype)
 
     return kernel
 
 
-def _fused_call(x, params, coeffs, margin, interpret=False):
+def _fused_call(x, params, coeffs, margin, replicate_pad=False,
+                interpret=False):
     n, h, w_in = x.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -128,7 +145,7 @@ def _fused_call(x, params, coeffs, margin, interpret=False):
         out_specs=pl.BlockSpec((1, h, w_in), lambda i, *_: (i, 0, 0)),
     )
     return pl.pallas_call(
-        _make_kernel(margin),
+        _make_kernel(margin, replicate_pad),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, h, w_in), x.dtype),
         interpret=interpret,
@@ -178,8 +195,9 @@ def _xla_reference(x, params, coeffs, margin):
     return out[:, :, margin:margin + w_in]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_polynomial_pallas(x, params, coeffs, margin, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_polynomial_pallas(x, params, coeffs, margin, replicate_pad=False,
+                            interpret=False):
     """p(K) on a padded tile batch.
 
     :param x: (N, H, W) replicate-padded tiles
@@ -189,19 +207,28 @@ def fused_polynomial_pallas(x, params, coeffs, margin, interpret=False):
     :param coeffs: (4,) Horner coefficients [a3, a2, a1, beta]
     :param margin: static canvas margin (= ceil(HALF * smax), lanes)
     """
-    return _fused_call(x, params, coeffs, margin, interpret=interpret)
+    return _fused_call(x, params, coeffs, margin,
+                       replicate_pad=replicate_pad, interpret=interpret)
 
 
-def _fwd(x, params, coeffs, margin, interpret):
-    return _fused_call(x, params, coeffs, margin, interpret=interpret), (
-        x, params, coeffs)
+def _fwd(x, params, coeffs, margin, replicate_pad, interpret):
+    out = _fused_call(x, params, coeffs, margin,
+                      replicate_pad=replicate_pad, interpret=interpret)
+    return out, (x, params, coeffs)
 
 
-def _bwd(margin, interpret, res, g):
+def _bwd(margin, replicate_pad, interpret, res, g):
     x, params, coeffs = res
-    _, vjp = jax.vjp(
-        lambda x_, p_, c_: _xla_reference(x_, p_, c_, margin),
-        x, params, coeffs)
+
+    def ref_fn(x_, p_, c_):
+        if replicate_pad:
+            xp = jnp.pad(x_, [(0, 0), (_HALF, _HALF), (_HALF, _HALF)],
+                         mode="edge")
+            out = _xla_reference(xp, p_, c_, margin)
+            return out[:, _HALF:-_HALF, _HALF:-_HALF]
+        return _xla_reference(x_, p_, c_, margin)
+
+    _, vjp = jax.vjp(ref_fn, x, params, coeffs)
     return vjp(g)
 
 

@@ -118,7 +118,7 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
     Matmuls accumulate in f32 regardless of image dtype. ``smax`` clamps
     the shear slope; anisotropy ratios up to ~4 at any angle are exact.
     """
-    if prepad:
+    if prepad and not (jax.default_backend() == "tpu"):
         out = compute_polynomial_separable(
             jnp.pad(img, [(0, 0), (0, 0), (_HALF, _HALF), (_HALF, _HALF)],
                     mode="edge"),
@@ -169,7 +169,7 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
         coeffs = jnp.stack([jnp.asarray(v, jnp.float32)
                             for v in (a3, a2, a1, beta)])
         out = fused_polynomial_pallas(img.reshape(n, h, w), params, coeffs,
-                                      margin)
+                                      margin, prepad)
         return out.reshape(bsz, csz, h, w)
 
     xmat = _band_matrix(_gauss_taps(a, dt), wc)        # (N, Wc, Wc)

@@ -208,15 +208,29 @@ def test_fused_polynomial_interpret_matches_xla():
     params = jnp.stack([s, a, cp, inx, inv], axis=-1)
     coeffs = jnp.asarray([4.0, -5.0, 2.0, 1.0], jnp.float32)
     ref = _xla_reference(x, params, coeffs, margin)
-    out = fused_polynomial_pallas(x, params, coeffs, margin, True)
+    out = fused_polynomial_pallas(x, params, coeffs, margin, False, True)
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=0)
 
     # gradient path (backward runs the XLA composition), incl. params
     def loss(x_, p_):
         return jnp.sum(fused_polynomial_pallas(x_, p_, coeffs, margin,
-                                               True) ** 2)
+                                               False, True) ** 2)
 
     gx, gp = jax.grad(loss, argnums=(0, 1))(x, params)
     assert np.isfinite(np.asarray(gx)).all()
     assert np.isfinite(np.asarray(gp)).all()
     assert float(jnp.linalg.norm(gp)) > 0
+
+
+def test_fused_estimation_interpret_matches_xla(peacock):
+    from polyblur_tpu.ops.pallas.est_fused import directional_maxima_pallas
+    from polyblur_tpu.estimation import _mags_xla
+
+    x = jnp.asarray(peacock[:128, :160].transpose(2, 0, 1))[None]
+    gray = jnp.mean(x, axis=1, keepdims=True)
+    ref = _mags_xla(gray, 6)
+    out = directional_maxima_pallas(gray, n_angles=6, interpret=True)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=0)
+    # multi-channel input: kernel means over C internally
+    out3 = directional_maxima_pallas(x, n_angles=6, interpret=True)
+    np.testing.assert_allclose(out3, ref, atol=1e-5, rtol=0)

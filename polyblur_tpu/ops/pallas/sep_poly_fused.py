@@ -77,7 +77,7 @@ def _band_operator(coef, inv_norm, n, dtype):
     return jnp.where(jnp.abs(d) <= float(_HALF), band, 0.0).astype(dtype)
 
 
-def _make_kernel(margin: int, replicate_pad: bool):
+def _make_kernel(margin: int, replicate_pad: bool, clip: bool):
     def kernel(p_ref, co_ref, x_ref, out_ref):
         _, h_in, w_raw = x_ref.shape
         i = pl.program_id(0)
@@ -125,6 +125,8 @@ def _make_kernel(margin: int, replicate_pad: bool):
         r = a2 * w + xconv(vconv(r))
         r = a1 * w + xconv(vconv(r))
         out = beta * x.astype(jnp.float32) + _row_shift(vconv(r), -s, h, wc)
+        if clip:
+            out = jnp.clip(out, 0.0, 1.0)
         if replicate_pad:
             out_ref[0] = out[_HALF:h - _HALF,
                              margin + _HALF:margin + w_in - _HALF].astype(
@@ -136,7 +138,7 @@ def _make_kernel(margin: int, replicate_pad: bool):
 
 
 def _fused_call(x, params, coeffs, margin, replicate_pad=False,
-                interpret=False):
+                clip=False, interpret=False):
     n, h, w_in = x.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -145,7 +147,7 @@ def _fused_call(x, params, coeffs, margin, replicate_pad=False,
         out_specs=pl.BlockSpec((1, h, w_in), lambda i, *_: (i, 0, 0)),
     )
     return pl.pallas_call(
-        _make_kernel(margin, replicate_pad),
+        _make_kernel(margin, replicate_pad, clip),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, h, w_in), x.dtype),
         interpret=interpret,
@@ -195,9 +197,9 @@ def _xla_reference(x, params, coeffs, margin):
     return out[:, :, margin:margin + w_in]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_polynomial_pallas(x, params, coeffs, margin, replicate_pad=False,
-                            interpret=False):
+                            clip=False, interpret=False):
     """p(K) on a padded tile batch.
 
     :param x: (N, H, W) replicate-padded tiles
@@ -208,16 +210,18 @@ def fused_polynomial_pallas(x, params, coeffs, margin, replicate_pad=False,
     :param margin: static canvas margin (= ceil(HALF * smax), lanes)
     """
     return _fused_call(x, params, coeffs, margin,
-                       replicate_pad=replicate_pad, interpret=interpret)
+                       replicate_pad=replicate_pad, clip=clip,
+                       interpret=interpret)
 
 
-def _fwd(x, params, coeffs, margin, replicate_pad, interpret):
+def _fwd(x, params, coeffs, margin, replicate_pad, clip, interpret):
     out = _fused_call(x, params, coeffs, margin,
-                      replicate_pad=replicate_pad, interpret=interpret)
+                      replicate_pad=replicate_pad, clip=clip,
+                      interpret=interpret)
     return out, (x, params, coeffs)
 
 
-def _bwd(margin, replicate_pad, interpret, res, g):
+def _bwd(margin, replicate_pad, clip, interpret, res, g):
     x, params, coeffs = res
 
     def ref_fn(x_, p_, c_):
@@ -225,8 +229,10 @@ def _bwd(margin, replicate_pad, interpret, res, g):
             xp = jnp.pad(x_, [(0, 0), (_HALF, _HALF), (_HALF, _HALF)],
                          mode="edge")
             out = _xla_reference(xp, p_, c_, margin)
-            return out[:, _HALF:-_HALF, _HALF:-_HALF]
-        return _xla_reference(x_, p_, c_, margin)
+            out = out[:, _HALF:-_HALF, _HALF:-_HALF]
+        else:
+            out = _xla_reference(x_, p_, c_, margin)
+        return jnp.clip(out, 0.0, 1.0) if clip else out
 
     _, vjp = jax.vjp(ref_fn, x, params, coeffs)
     return vjp(g)

@@ -103,8 +103,9 @@ def _band_matrix(taps: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
-                                 alpha, beta, smax: float = 2.0,
-                                 prepad: bool = False) -> jnp.ndarray:
+                                 alpha, beta, smax: float = 1.5,
+                                 prepad: bool = False,
+                                 clip: bool = False) -> jnp.ndarray:
     """Degree-3 polynomial deconvolution with per-sample Gaussian params.
 
     :param img: (B, C, H, W) tile batch. With ``prepad`` the replicate
@@ -116,14 +117,17 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
     :return: same shape as ``img``
 
     Matmuls accumulate in f32 regardless of image dtype. ``smax`` clamps
-    the shear slope; anisotropy ratios up to ~4 at any angle are exact.
+    the shear slope; 1.5 keeps every kernel in the reference's calibrated
+    anisotropy range (rho/sigma in [0.33, 1], calibrate_blur_parameters.py
+    :209) exact at any angle, with a minimal canvas.
     """
     if prepad and not (jax.default_backend() == "tpu"):
         out = compute_polynomial_separable(
             jnp.pad(img, [(0, 0), (0, 0), (_HALF, _HALF), (_HALF, _HALF)],
                     mode="edge"),
             sigma, rho, theta, alpha, beta, smax=smax, prepad=False)
-        return out[..., _HALF:-_HALF, _HALF:-_HALF]
+        out = out[..., _HALF:-_HALF, _HALF:-_HALF]
+        return jnp.clip(out, 0.0, 1.0) if clip else out
     bsz, csz, h, w = img.shape
     if sigma.ndim != 2:
         raise ValueError("sigma/rho/theta must be (B, C') arrays")
@@ -169,7 +173,7 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
         coeffs = jnp.stack([jnp.asarray(v, jnp.float32)
                             for v in (a3, a2, a1, beta)])
         out = fused_polynomial_pallas(img.reshape(n, h, w), params, coeffs,
-                                      margin, prepad)
+                                      margin, prepad, clip)
         return out.reshape(bsz, csz, h, w)
 
     xmat = _band_matrix(_gauss_taps(a, dt), wc)        # (N, Wc, Wc)
@@ -192,4 +196,5 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
     r = a2 * w_t + xconv(vconv(r))
     r = a1 * w_t + xconv(vconv(r))
     out = beta * x + shear_rows(vconv(r), -s)
-    return out[:, :, pad_l:pad_l + w].reshape(bsz, csz, h, w)
+    out = out[:, :, pad_l:pad_l + w].reshape(bsz, csz, h, w)
+    return jnp.clip(out, 0.0, 1.0) if clip else out

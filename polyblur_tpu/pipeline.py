@@ -91,6 +91,10 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
                 impred, kernel, alpha=alpha, beta=beta,
                 remove_halo=remove_halo, do_edgetaper=edgetaping,
                 grad_img=grad_img, method=method)
+        if (method == "direct_separable" and not prefiltering
+                and not remove_halo and not edgetaping):
+            # inverse_filtering's fused kernel already clamped to [0, 1]
+            return restored, None
         return jnp.clip(restored, 0.0, 1.0), None
 
     if remat:

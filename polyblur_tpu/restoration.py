@@ -131,15 +131,18 @@ def inverse_filtering_rank3(img: jnp.ndarray, kernel, alpha=2.0, beta=4.0,
     is_param_kernel = isinstance(kernel, (tuple, list))
     ksize = 25 if is_param_kernel else kernel.shape[-1]
     if is_param_kernel and method == "direct_separable" and not do_edgetaper:
-        # fast path: padding + crop are fused into the Pallas kernel
+        # fast path: padding + crop + final clamp fused into the kernel
         from .ops.sep_poly import compute_polynomial_separable
 
         sigma, rho, theta = kernel
-        imout = compute_polynomial_separable(img, sigma, rho, theta,
-                                             alpha, beta, prepad=True)
         if remove_halo:
+            imout = compute_polynomial_separable(img, sigma, rho, theta,
+                                                 alpha, beta, prepad=True)
             imout = halo_masking(img, imout, grad_img)
-        return jnp.clip(imout, 0.0, 1.0)
+            return jnp.clip(imout, 0.0, 1.0)
+        return compute_polynomial_separable(img, sigma, rho, theta,
+                                            alpha, beta, prepad=True,
+                                            clip=True)
     if correlate and not is_param_kernel:
         kernel = jnp.rot90(kernel, k=2, axes=(-2, -1))
     padded = pad_with_kernel(img, ksize=ksize)

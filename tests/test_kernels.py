@@ -208,13 +208,14 @@ def test_fused_polynomial_interpret_matches_xla():
     params = jnp.stack([s, a, cp, inx, inv], axis=-1)
     coeffs = jnp.asarray([4.0, -5.0, 2.0, 1.0], jnp.float32)
     ref = _xla_reference(x, params, coeffs, margin)
-    out = fused_polynomial_pallas(x, params, coeffs, margin, False, True)
+    out = fused_polynomial_pallas(x, params, coeffs, margin,
+                                  interpret=True)
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=0)
 
     # gradient path (backward runs the XLA composition), incl. params
     def loss(x_, p_):
         return jnp.sum(fused_polynomial_pallas(x_, p_, coeffs, margin,
-                                               False, True) ** 2)
+                                               interpret=True) ** 2)
 
     gx, gp = jax.grad(loss, argnums=(0, 1))(x, params)
     assert np.isfinite(np.asarray(gx)).all()

@@ -56,11 +56,10 @@ def polyblur_deblurring(img, n_iter: int = 1, c=0.352, b=0.768, alpha=2.0,
     (deblurring.py:23-96). ``img`` is a numpy ``(H, W)``/``(H, W, C)`` image
     or a ``(B, C, H, W)`` array in [0, 1]; the return type matches the input.
 
-    ``verbose`` is accepted for parity; per-stage wall-times are meaningless
-    inside one fused XLA program — use ``jax.profiler`` traces instead
-    (utils/profiling.py).
+    ``verbose`` wall-clocks the whole (fused) call; per-stage wall-times
+    are meaningless inside one XLA program — use ``jax.profiler`` traces
+    (utils/profiling.py) for per-op timing.
     """
-    del verbose
     cfg = FUNCTIONAL_DEFAULTS.replace(
         n_iter=n_iter, c=c, b=b, alpha=alpha, beta=beta, sigma_r=sigma_r,
         sigma_s=sigma_s, ker_size=ker_size, q=q, n_angles=n_angles,
@@ -69,7 +68,14 @@ def polyblur_deblurring(img, n_iter: int = 1, c=0.352, b=0.768, alpha=2.0,
         discard_saturation=discard_saturation,
         multichannel_kernel=multichannel_kernel, method=method)
     x, was_numpy = _adapt_in(img)
-    out = _run(x, cfg)
+    if verbose:
+        from .utils.profiling import stage_timer, force_execution
+
+        with stage_timer("polyblur_deblurring (incl. any compile)"):
+            out = _run(x, cfg)
+            force_execution(out)
+    else:
+        out = _run(x, cfg)
     return to_array(out) if was_numpy else out
 
 

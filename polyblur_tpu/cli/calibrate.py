@@ -139,10 +139,42 @@ def calibrate(image_paths, n_kernels: int = 10, patch_size: int = 400,
         c = float(np.sqrt(max(m, 0.0)))
         b = float(np.sign(-p) * np.sqrt(abs(p)))
         out[name] = {"c": c, "b": b, "slope": m, "intercept": p,
-                     "n_samples": len(xs)}
+                     "n_samples": len(xs), "x": list(map(float, xs)),
+                     "y": list(map(float, ys))}
         if verbose:
             print(f"{name}: c = {c:.3f}, b = {b:.3f} ({len(xs)} samples)")
     return out
+
+
+def save_plots(results: dict, outdir: str = "results") -> list:
+    """Scatter + fitted affine model per direction, like the reference's
+    committed calibration figures (calibrate_blur_parameters.py:168-199,
+    results/calibration_{normal,orthogonal}_0.01.jpg)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    for name, r in results.items():
+        x = np.asarray(r["x"])
+        y = np.asarray(r["y"])
+        fig, ax = plt.subplots(figsize=(5, 4))
+        ax.scatter(x, y, s=8, alpha=0.5, label="samples")
+        xx = np.linspace(0, x.max(), 100)
+        ax.plot(xx, r["slope"] * xx + r["intercept"], "r-",
+                label=f"c={r['c']:.3f}, b={r['b']:.3f}")
+        ax.set_xlabel("1 / f^2")
+        ax.set_ylabel("sigma^2 (gt)")
+        ax.set_title(f"affine blur model — {name}")
+        ax.legend()
+        fig.tight_layout()
+        path = os.path.join(outdir, f"calibration_{name}.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        paths.append(path)
+    return paths
 
 
 def synthetic_sharp_images(n: int, size: int, seed: int = 1234):
@@ -176,6 +208,8 @@ def main(argv=None):
     p.add_argument("--sigma_min", type=float, default=0.3)
     p.add_argument("--sigma_max", type=float, default=4.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--plot", action="store_true",
+                   help="save calibration figures to results/")
     args = p.parse_args(argv)
 
     if args.images:
@@ -188,10 +222,14 @@ def main(argv=None):
         sources = synthetic_sharp_images(args.n_synthetic, 480)
         print(f"Calibrating on {len(sources)} synthetic sharp images, "
               f"{args.n_kernels} kernels each, noise {args.noise_std}")
-    return calibrate(sources, n_kernels=args.n_kernels,
-                     patch_size=args.patch_size,
-                     sigma_range=(args.sigma_min, args.sigma_max),
-                     noise_std=args.noise_std, seed=args.seed)
+    res = calibrate(sources, n_kernels=args.n_kernels,
+                    patch_size=args.patch_size,
+                    sigma_range=(args.sigma_min, args.sigma_max),
+                    noise_std=args.noise_std, seed=args.seed)
+    if args.plot:
+        for path in save_plots(res):
+            print(f"saved {path}")
+    return res
 
 
 if __name__ == "__main__":

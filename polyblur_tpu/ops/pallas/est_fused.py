@@ -49,6 +49,11 @@ def _make_kernel(n_angles: int, csz: int):
         dh = dh_ref[...]  # (H, H) f32
         # gx[y, u] = sum_v g[y, v] Dw[u, v]  (Dw antisymmetric — keep exact
         # orientation by contracting the second index of Dw)
+        # NOTE: Mosaic supports only DEFAULT/HIGHEST dot precision; HIGHEST
+        # costs ~2 ms/iter here for no measurable quality change (mean
+        # fast-vs-fft restoration delta +0.001 dB over a 7-kernel sweep on
+        # hardware), so the fused path keeps MXU-native precision. The XLA
+        # estimation path (fft/oracle methods) runs HIGHEST.
         gx = jax.lax.dot_general(
             g, dw, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = ["derivative_matrix", "fourier_gradients_matmul"]
@@ -66,8 +67,13 @@ def fourier_gradients_matmul(images: jnp.ndarray):
     dw = derivative_matrix(w, compute)
     dh = derivative_matrix(h, compute)
     # gx[..., y, x] = sum_v img[..., y, v] * Dw[x, v]
+    # HIGHEST precision: on TPU, default f32 matmuls truncate inputs to
+    # bf16 on the MXU (~3% error in the gradients); the blur estimates
+    # gate the whole pipeline, so spend the 3-pass f32 here.
     gx = jnp.einsum("...hv,wv->...hw", x, dw,
-                    preferred_element_type=compute)
+                    preferred_element_type=compute,
+                    precision=jax.lax.Precision.HIGHEST)
     gy = jnp.einsum("hv,...vx->...hx", dh, x,
-                    preferred_element_type=compute)
+                    preferred_element_type=compute,
+                    precision=jax.lax.Precision.HIGHEST)
     return gx.astype(images.dtype), gy.astype(images.dtype)

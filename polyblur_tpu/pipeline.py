@@ -48,7 +48,7 @@ def edge_aware_filtering(img: jnp.ndarray, sigma_s, sigma_r,
 @partial(jax.jit, static_argnames=(
     "n_iter", "ker_size", "q", "n_angles", "n_interpolated_angles",
     "remove_halo", "edgetaping", "prefiltering", "discard_saturation",
-    "multichannel_kernel", "method", "smoother", "remat"))
+    "multichannel_kernel", "method", "smoother", "remat", "_disable_mega"))
 def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
                   alpha=2.0, beta=3.0, sigma_r=0.8, sigma_s=2.0,
                   ker_size: int = 25, q: float = 0.0, n_angles: int = 6,
@@ -56,7 +56,8 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
                   edgetaping: bool = False, prefiltering: bool = False,
                   discard_saturation: bool = False,
                   multichannel_kernel: bool = False, method: str = "fft",
-                  smoother: str = "bilateral", remat: bool = False) -> jnp.ndarray:
+                  smoother: str = "bilateral", remat: bool = False,
+                  _disable_mega: bool = False) -> jnp.ndarray:
     """Blind deblurring of a batch of images.
 
     :param img: (B, C, H, W) array in [0, 1]
@@ -68,6 +69,27 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
     polynomial inverse filter, clip. ``grad_img`` for halo masking is
     computed once from the original input (deblurring.py:61).
     """
+    if (method == "direct_separable" and not _disable_mega and not remat
+            and not (remove_halo or edgetaping or prefiltering
+                     or discard_saturation or multichannel_kernel)
+            and q == 0.0 and ker_size == 25 and n_angles == 6
+            and n_interpolated_angles == 30
+            and jax.default_backend() == "tpu"):
+        # the whole-pipeline mega-kernel: every iteration of estimation +
+        # deconvolution in one VMEM-resident program per tile
+        from .ops.pallas.polyblur_fused import polyblur_tiles_fused
+
+        a3 = alpha / 2.0 - beta + 2.0
+        a2 = 3.0 * beta - alpha - 6.0
+        a1 = 5.0 - 3.0 * beta + alpha / 2.0
+        smax = 1.5
+        coeffs = jnp.stack([jnp.asarray(v, jnp.float32)
+                            for v in (a3, a2, a1, beta, c, b, smax)])
+        import math as _math
+
+        return polyblur_tiles_fused(img, coeffs, n_iter,
+                                    int(_math.ceil(12 * smax)))
+
     grad_img = spectral_gradients(img) if remove_halo else None
     return_2d_filters = method != "direct_separable"
 

@@ -235,3 +235,22 @@ def test_fused_estimation_interpret_matches_xla(peacock):
     # multi-channel input: kernel means over C internally
     out3 = directional_maxima_pallas(x, n_angles=6, interpret=True)
     np.testing.assert_allclose(out3, ref, atol=1e-5, rtol=0)
+
+
+def test_mega_kernel_interpret_matches_pipeline(peacock):
+    """The whole-pipeline mega-kernel (interpret mode) must match the
+    composed XLA pipeline."""
+    from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused
+    from polyblur_tpu.pipeline import polyblur_core
+
+    x = jnp.asarray(peacock[:96, :112].transpose(2, 0, 1))[None]
+    alpha, beta = 6.0, 1.0
+    a3 = alpha / 2 - beta + 2
+    a2 = 3 * beta - alpha - 6
+    a1 = 5 - 3 * beta + alpha / 2
+    coeffs = jnp.asarray([a3, a2, a1, beta, 0.362, 0.468, 1.5], jnp.float32)
+    out = polyblur_tiles_fused(x, coeffs, 2, 18, True)
+    ref = polyblur_core(x, n_iter=2, c=0.362, b=0.468, alpha=alpha,
+                        beta=beta, method="direct_separable")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+                               rtol=0)

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "crop",
     "to_tensor",
     "to_array",
     "to_float",
@@ -62,6 +63,16 @@ def to_uint(img: np.ndarray) -> np.ndarray:
     """Convert an image ndarray to uint8 (utils.py:41-45)."""
     img = to_float(img)
     return (255.0 * np.clip(img, 0.0, 1.0) + 0.5).astype(np.uint8)
+
+
+def crop(image: jnp.ndarray, new_size) -> jnp.ndarray:
+    """Top-left crop to ``new_size`` if larger (filters.py:189-195)."""
+    h, w = image.shape[-2:]
+    if h > new_size[0]:
+        image = image[..., :new_size[0], :]
+    if w > new_size[1]:
+        image = image[..., :, :new_size[1]]
+    return image
 
 
 def _half_support(kernel=None, ksize: int = 3) -> int:

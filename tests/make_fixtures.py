@@ -139,6 +139,22 @@ def main():
         remove_halo=True, edgetaping=True, prefiltering=True)
     fx["e2e_out_full"] = out_full.numpy()
 
+    # 11. estimation variants: quantile normalization, saturation mask,
+    # multichannel (4-channel input so the gray collapse doesn't trigger)
+    k_q = blur_estimation.gaussian_blur_estimation(
+        x, q=1e-4, c=0.362, b=0.468, ker_size=25)
+    fx["est_kernel_q"] = k_q.numpy()
+    sat = x.clone()
+    sat[..., :100, :100] = 1.0  # saturated patch
+    k_sat = blur_estimation.gaussian_blur_estimation(
+        sat, q=0.0, c=0.362, b=0.468, ker_size=25, discard_saturation=True)
+    fx["est_in_sat"] = sat.numpy()
+    fx["est_kernel_sat"] = k_sat.numpy()
+    # NOTE: no multichannel fixture — the reference's multichannel loop
+    # clobbers its own `thetas` grid after channel 0 (blur_estimation.py:67
+    # reassigns it to the returned radians) and crashes for C > 1; this
+    # framework fixes that path (tested for self-consistency instead).
+
     np.savez_compressed(f"{OUT}/reference_fixtures.npz", **fx)
     print(f"wrote {OUT}/reference_fixtures.npz:")
     for n, v in fx.items():

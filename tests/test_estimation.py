@@ -113,3 +113,16 @@ def test_estimates_bitwise_stable():
     b = gaussian_blur_estimation(x, return_2d_filters=False)
     for u, v in zip(a, b):
         np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
+def test_quantile_normalization_matches_reference(ref, peacock):
+    x = jnp.asarray(peacock.transpose(2, 0, 1))[None]
+    k = gaussian_blur_estimation(x, c=0.362, b=0.468, q=1e-4, ker_size=25)
+    np.testing.assert_allclose(k, ref["est_kernel_q"], atol=1e-4, rtol=0)
+
+
+def test_saturation_mask_matches_reference(ref):
+    x = jnp.asarray(ref["est_in_sat"])
+    k = gaussian_blur_estimation(x, c=0.362, b=0.468, q=0.0, ker_size=25,
+                                 discard_saturation=True)
+    np.testing.assert_allclose(k, ref["est_kernel_sat"], atol=1e-4, rtol=0)

@@ -103,3 +103,21 @@ def test_cli_calibrate_smoke():
                 "--patch_size", "128"])
     assert set(res) == {"normal", "orthogonal"}
     assert res["normal"]["c"] > 0
+
+
+def test_cli_synthetic_degradation(tmp_path):
+    from polyblur_tpu.cli.main import main
+
+    out = main(["--impath", PEACOCK, "--N", "1",
+                "--synthetic_degradation", "true", "--sigma", "2.0",
+                "--rho", "0.8", "--theta", "30", "--outdir", str(tmp_path)])
+    assert os.path.exists(out)
+
+
+def test_crop_matches_reference_semantics():
+    from polyblur_tpu.utils.imaging import crop
+
+    x = jnp.zeros((1, 1, 10, 12))
+    assert crop(x, (8, 9)).shape == (1, 1, 8, 9)
+    assert crop(x, (20, 9)).shape == (1, 1, 10, 9)
+    assert crop(x, (20, 20)).shape == (1, 1, 10, 12)

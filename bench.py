@@ -29,7 +29,7 @@ def make_12mp_image(rng):
     return np.clip(big, 0.0, 1.0).astype(np.float32).transpose(2, 0, 1)[None]
 
 
-def bench(fn, x, n_runs=3, chain=16):
+def bench(fn, x, n_runs=3, chain=32):
     """Min per-call wall time over n_runs measurements.
 
     On the tunneled TPU backend ``block_until_ready`` returns without

@@ -254,3 +254,19 @@ def test_mega_kernel_interpret_matches_pipeline(peacock):
                         beta=beta, method="direct_separable")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
                                rtol=0)
+
+
+def test_mega_kernel_odd_sizes_interpret(peacock):
+    from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused
+    from polyblur_tpu.pipeline import polyblur_core
+
+    x = jnp.asarray(peacock[:101, :117].transpose(2, 0, 1))[None]
+    alpha, beta = 6.0, 1.0
+    coeffs = jnp.asarray([alpha / 2 - beta + 2, 3 * beta - alpha - 6,
+                          5 - 3 * beta + alpha / 2, beta, 0.362, 0.468, 1.5],
+                         jnp.float32)
+    out = polyblur_tiles_fused(x, coeffs, 1, 18, True)
+    ref = polyblur_core(x, n_iter=1, c=0.362, b=0.468, alpha=alpha,
+                        beta=beta, method="direct_separable")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+                               rtol=0)

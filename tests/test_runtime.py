@@ -121,3 +121,25 @@ def test_crop_matches_reference_semantics():
     assert crop(x, (8, 9)).shape == (1, 1, 8, 9)
     assert crop(x, (20, 9)).shape == (1, 1, 10, 9)
     assert crop(x, (20, 20)).shape == (1, 1, 10, 12)
+
+
+def test_burst_cli_end_to_end(tmp_path):
+    from polyblur_tpu.cli.burst import main
+
+    n = main(["--images", PEACOCK, "--N", "1", "--patch_size", "256",
+              "--dtype", "float32", "--outdir", str(tmp_path)])
+    assert n == 1
+    outs = os.listdir(tmp_path)
+    assert any(o.endswith("_restored.png") for o in outs)
+
+
+def test_patch_engine_with_separable_method():
+    import polyblur_tpu as pt
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(size=(90, 110, 3)).astype(np.float32)
+    deb = pt.PolyblurDeblurring(patch_decomposition=True, patch_size=48)
+    out = deb(img, n_iter=1, alpha=6.0, beta=1.0,
+              method="direct_separable")
+    assert out.shape == (90, 110, 3)
+    assert np.isfinite(out).all()

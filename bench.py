@@ -58,6 +58,11 @@ def bench(fn, x, n_runs=3, chain=32):
 
 def main():
     import jax
+
+    # persistent compilation cache: the mega-kernel compile is ~3 min cold,
+    # instant warm (works through the remote-compile relay too)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from polyblur_tpu.pipeline import polyblur_core

@@ -40,6 +40,12 @@ def edge_aware_filtering(img: jnp.ndarray, sigma_s, sigma_r,
     elif smoother == "domain_transform":
         img_smoothed = recursive_filter(img, sigma_s=sigma_s, sigma_r=sigma_r,
                                         num_iterations=1)
+    elif smoother == "nc":
+        from .ops.domain_transform import normalized_convolution
+
+        img_smoothed = normalized_convolution(img, sigma_s=sigma_s,
+                                              sigma_r=sigma_r,
+                                              num_iterations=1)
     else:
         raise ValueError(f"unknown smoother {smoother!r}")
     return img_smoothed, img - img_smoothed

@@ -128,3 +128,12 @@ def test_constant_image_stays_finite():
     out = polyblur_core(jnp.full((1, 3, 40, 40), 0.5, jnp.float32), n_iter=3,
                         alpha=6.0, beta=1.0, remove_halo=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_prefilter_smoothers():
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.uniform(size=(1, 3, 48, 48)).astype(np.float32))
+    for sm in ["bilateral", "domain_transform", "nc"]:
+        out = polyblur_core(x, n_iter=1, alpha=4.0, beta=2.0,
+                            prefiltering=True, smoother=sm)
+        assert np.isfinite(np.asarray(out)).all(), sm

@@ -1,0 +1,159 @@
+"""Benchmark suite over the five BASELINE.json configs.
+
+    python -m polyblur_tpu.cli.bench_suite [--quick]
+
+1. Peacock defocus, grayscale, N=3 alpha=6 beta=1 (the reference demo that
+   took "about 10 ms" post-warm-up on an unspecified GPU, main.py:122).
+2. Single RGB 2MP photo, full pipeline with edgetaper + domain-transform
+   prefilter + halo removal.
+3. Batched inputs (vmap semantics over the batch axis) incl. a (c, b)
+   parameter sweep.
+4. 12MP burst in bf16, tiled, per-tile estimation (== bench.py headline).
+5. Differentiable layer: gradient through 3 scanned iterations.
+
+Timing protocol: warm-up compile, then chained dependent calls with a
+single forced scalar readback (see bench.py for why, and ARCHITECTURE.md
+"timing traps").
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import numpy as np
+
+
+def _force(v):
+    import jax
+    import jax.numpy as jnp
+
+    tot = 0.0
+    for leaf in jax.tree.leaves(v):
+        tot += float(jnp.sum(jnp.abs(leaf.astype(jnp.float32))))
+    return tot
+
+
+def _time(fn, *args, chain=4, n=3):
+    out = fn(*args)
+    _force(out)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        v = args[0]
+        rest = args[1:]
+        for _ in range(chain):
+            v = fn(v, *rest)
+        _force(v)
+        ts.append((time.perf_counter() - t0) / chain)
+    return min(ts)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="smaller sizes (CI / CPU)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+
+    from ..pipeline import polyblur_core
+    from ..patches import plan_patch_grid, extract_patches
+    from ..utils.io import imread_float
+
+    rows = []
+    rng = np.random.default_rng(0)
+    peacock = imread_float("tests/data/peacock_defocus.png")
+
+    # --- config 1: peacock grayscale demo -----------------------------
+    gray = peacock.mean(axis=-1).astype(np.float32)
+    if args.quick:
+        gray = gray[::2, ::2]
+    x1 = jnp.asarray(gray)[None, None]
+    f1 = jax.jit(functools.partial(
+        polyblur_core, n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+        method="direct_separable"))
+    dt = _time(f1, x1)
+    mp = gray.size / 1e6
+    rows.append(("1. peacock gray N=3 (ref: ~10ms GPU)",
+                 f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
+
+    # --- config 2: 2MP RGB, full pipeline -----------------------------
+    h2, w2 = (600, 800) if args.quick else (1200, 1600)
+    reps = (h2 // peacock.shape[0] + 1, w2 // peacock.shape[1] + 1, 1)
+    rgb2 = np.tile(peacock, reps)[:h2, :w2]
+    x2 = jnp.asarray(rgb2.transpose(2, 0, 1))[None]
+    f2 = jax.jit(functools.partial(
+        polyblur_core, n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+        method="fft", remove_halo=True, edgetaping=True, prefiltering=True,
+        smoother="domain_transform"))
+    dt = _time(f2, x2, chain=2)
+    mp = h2 * w2 / 1e6
+    rows.append((f"2. {mp:.1f}MP RGB full pipeline (taper+DT+halo)",
+                 f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
+
+    # --- config 3: batched + (c, b) sweep -----------------------------
+    bsz = 4 if args.quick else 8
+    hw = 256 if args.quick else 400
+    batch = jnp.asarray(
+        rng.uniform(size=(bsz, 3, hw, hw)).astype(np.float32))
+    f3 = jax.jit(functools.partial(
+        polyblur_core, n_iter=3, alpha=6.0, beta=1.0,
+        method="direct_separable"))
+
+    def sweep(x):
+        outs = []
+        for cc, bb in [(0.352, 0.768), (0.362, 0.468), (0.362, 0.464)]:
+            outs.append(f3(x, c=cc, b=bb))
+        return outs
+
+    dt = _time(sweep, batch, chain=1)
+    mp = 3 * bsz * 3 * hw * hw / 1e6
+    rows.append((f"3. batch={bsz} x 3 (c,b) settings",
+                 f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
+
+    # --- config 4: 12MP bf16 tiled (headline) -------------------------
+    h4, w4 = (1500, 2000) if args.quick else (3000, 4000)
+    reps = (h4 // peacock.shape[0] + 1, w4 // peacock.shape[1] + 1, 1)
+    big = np.tile(peacock, reps)[:h4, :w4].transpose(2, 0, 1)[None]
+    grid = plan_patch_grid(h4, w4, 400, 0.25)
+    tiles = jax.device_put(
+        extract_patches(jnp.asarray(big), grid).astype(jnp.bfloat16))
+    f4 = jax.jit(functools.partial(
+        polyblur_core, n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+        method="direct_separable"))
+    dt = _time(f4, tiles, chain=8)
+    mp = h4 * w4 / 1e6
+    rows.append((f"4. {mp:.0f}MP bf16 tiled per-tile est (headline)",
+                 f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
+
+    # --- config 5: gradient through 3 iterations ----------------------
+    hw5 = 128 if args.quick else 256
+    x5 = jnp.asarray(rng.uniform(size=(1, 1, hw5, hw5)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(size=(1, 1, hw5, hw5)).astype(np.float32))
+
+    @jax.jit
+    def grad_step(x):
+        def loss(im):
+            out = polyblur_core(im, n_iter=3, c=0.362, b=0.468, alpha=6.0,
+                                beta=1.0, method="fft", remat=True)
+            return jnp.mean((out - tgt) ** 2)
+
+        return x - 0.1 * jax.grad(loss)(x)
+
+    dt = _time(grad_step, x5, chain=2)
+    rows.append((f"5. training grad through 3 iters ({hw5}^2)",
+                 f"{dt * 1e3:.1f} ms", "-"))
+
+    print(f"\n{'config':52s} {'latency':>10s} {'throughput':>12s}")
+    for name, lat, thr in rows:
+        print(f"{name:52s} {lat:>10s} {thr:>12s}")
+    return rows
+
+
+if __name__ == "__main__":
+    main()

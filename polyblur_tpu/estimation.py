@@ -144,7 +144,10 @@ def _mags_xla(img: jnp.ndarray, n_angles: int) -> jnp.ndarray:
 def _mags_fast(img: jnp.ndarray, n_angles: int) -> jnp.ndarray:
     """Directional maxima via the fused Pallas reduction (the BASELINE
     north-star kernel) on TPU; the XLA chain elsewhere and in the VJP."""
-    if jax.default_backend() == "tpu":
+    # the fused kernel holds the (W, W)/(H, H) derivative operators and
+    # the gradient fields in VMEM — only viable at tile scale; whole
+    # images take the XLA chain (whose matmul/fft backend auto-switches)
+    if jax.default_backend() == "tpu" and max(img.shape[-2:]) <= 512:
         from .ops.pallas.est_fused import directional_maxima_pallas
 
         return directional_maxima_pallas(img, n_angles=n_angles).astype(

@@ -160,11 +160,12 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
     # content (X u going in, V...-smoothed coming out) and the identity
     # term bypasses interpolation entirely — this kills the double-
     # interpolation error of the naive Sh . Horner . Ush ordering.
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and max(h, wc) <= 640:
         # One fused VMEM-resident Pallas program per (tile, channel); the
         # band operators are rebuilt analytically in VMEM from 5 scalars
         # per tile (materializing them in HBM costs more than the matmuls
-        # that consume them).
+        # that consume them). Whole images beyond tile scale use the XLA
+        # composition below (band operators don't fit VMEM).
         from .pallas.sep_poly_fused import fused_polynomial_pallas
 
         inv_nx = _tap_inv_norm(a)

@@ -80,6 +80,7 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
                      or discard_saturation or multichannel_kernel)
             and q == 0.0 and ker_size == 25 and n_angles == 6
             and n_interpolated_angles == 30
+            and max(img.shape[-2:]) <= 512
             and jax.default_backend() == "tpu"):
         # the whole-pipeline mega-kernel: every iteration of estimation +
         # deconvolution in one VMEM-resident program per tile

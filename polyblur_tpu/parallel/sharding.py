@@ -17,9 +17,10 @@ the reference's "redundant compute, zero comms" overlap policy (SURVEY.md
 §5.7) and is the right trade on TPU: the apron is 12 px of a 400 px tile
 (~6% extra compute) versus an ICI round-trip per iteration.
 
-Everything uses the standard jit + ``NamedSharding`` path (GSPMD): we
-annotate input shardings and let XLA place the compute and insert
-collectives.
+Inference paths use ``shard_map`` (per-shard local shapes — required for
+the Pallas kernels, which GSPMD cannot auto-partition); the training step
+uses jit + ``NamedSharding`` (its fft/remat path is pure XLA) with the
+gradient psum inserted by GSPMD.
 """
 
 from __future__ import annotations
@@ -31,6 +32,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions; replication checking off (the Pallas
+    custom-call outputs carry no vma/rep metadata)."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    from jax.experimental.shard_map import shard_map as _sm
+
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+               check_rep=False)
 
 from ..patches import plan_patch_grid, extract_patches, overlap_add
 from ..pipeline import polyblur_core
@@ -85,10 +97,17 @@ def deblur_sharded(images: jnp.ndarray, mesh: Mesh, patch_size: int = 400,
     tiles = jax.device_put(
         tiles, NamedSharding(mesh, P(("data", "tile"), None, None, None)))
 
-    restored = jax.jit(
-        partial(polyblur_core, **polyblur_kwargs),
-        in_shardings=NamedSharding(mesh, P(("data", "tile"), None, None, None)),
-    )(tiles)
+    # shard_map (not GSPMD auto-partitioning): each device runs the whole
+    # pipeline on its local tile shard — Pallas kernels see local shapes,
+    # so the mega/fused kernels work unchanged under multi-chip. No
+    # collectives are needed (tiles are embarrassingly parallel until the
+    # overlap-add reassembly below).
+    local_fn = partial(polyblur_core, **polyblur_kwargs)
+    restored = jax.jit(_shard_map(
+        local_fn, mesh,
+        P(("data", "tile"), None, None, None),
+        P(("data", "tile"), None, None, None),
+    ))(tiles)
 
     restored = restored[: n_tiles * b]
     return overlap_add(restored, grid, b, window_type)
@@ -97,11 +116,15 @@ def deblur_sharded(images: jnp.ndarray, mesh: Mesh, patch_size: int = 400,
 def data_parallel_deblur(images: jnp.ndarray, mesh: Mesh,
                          **polyblur_kwargs) -> jnp.ndarray:
     """Whole-image pipeline with the batch axis sharded over every mesh
-    device (DP only — embarrassingly parallel, zero collectives)."""
+    device (DP only — embarrassingly parallel, zero collectives).
+    shard_map so Pallas kernels run on local shards."""
     spec = NamedSharding(mesh, P(("data", "tile"), None, None, None))
     images = jax.device_put(images, spec)
-    return jax.jit(partial(polyblur_core, **polyblur_kwargs),
-                   in_shardings=spec)(images)
+    return jax.jit(_shard_map(
+        partial(polyblur_core, **polyblur_kwargs), mesh,
+        P(("data", "tile"), None, None, None),
+        P(("data", "tile"), None, None, None),
+    ))(images)
 
 
 def training_step(params: dict, blurry: jnp.ndarray, sharp: jnp.ndarray,

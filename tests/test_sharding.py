@@ -68,3 +68,18 @@ def test_uneven_tiles_padded_shard():
     out = deblur_sharded(img, mesh, patch_size=32, overlap=0.25, n_iter=1)
     assert out.shape == (1, 1, 96, 96)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@needs_8
+def test_tile_sharded_separable_method():
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.uniform(size=(1, 3, 96, 96)).astype(np.float32))
+    mesh = make_mesh(jax.devices()[:8], data_axis=1)
+    out = deblur_sharded(img, mesh, patch_size=32, overlap=0.25, n_iter=2,
+                         alpha=6.0, beta=1.0, method="direct_separable")
+    from polyblur_tpu.patches import deblur_patches
+
+    single = deblur_patches(img, patch_size=32, overlap=0.25, n_iter=2,
+                            alpha=6.0, beta=1.0, method="direct_separable")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single),
+                               atol=1e-5, rtol=0)

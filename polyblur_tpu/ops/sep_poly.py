@@ -40,6 +40,31 @@ __all__ = ["compute_polynomial_separable", "gaussian_quadratic_coeffs"]
 
 _HALF = 12  # fixed 25-tap support, matching ker_size=25 (deblurring.py:23)
 
+# Largest per-program edge (rows or canvas columns) for which the fused
+# Pallas kernel's two band operators + canvas stay VMEM-resident.
+_FUSED_MAX_EDGE = 640
+
+
+def _canvas_width(w: int, margin: int) -> int:
+    """Shear canvas width: image + shear margins, rounded up to 8 lanes."""
+    return int((w + 2 * margin + 7) // 8 * 8)
+
+
+def _fused_path_eligible(h: int, w: int, margin: int, prepad: bool,
+                         backend: str | None = None) -> bool:
+    """Whether the single-program fused Pallas kernel can run this shape.
+
+    With ``prepad`` the kernel replicate-pads internally by the half
+    support, growing the VMEM-resident canvas by 2*HALF on both axes — the
+    guard must account for that or the operators overflow VMEM.
+    """
+    if backend is None:
+        backend = jax.default_backend()
+    if backend != "tpu":
+        return False
+    pad = 2 * _HALF if prepad else 0
+    return max(h + pad, _canvas_width(w + pad, margin)) <= _FUSED_MAX_EDGE
+
 
 def gaussian_quadratic_coeffs(sigma, rho, theta):
     """(a, b, c) of the kernel's quadratic form, from (sigma, rho, theta).
@@ -121,14 +146,21 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
     anisotropy range (rho/sigma in [0.33, 1], calibrate_blur_parameters.py
     :209) exact at any angle, with a minimal canvas.
     """
-    if prepad and not (jax.default_backend() == "tpu"):
+    bsz, csz, h, w = img.shape
+    margin = int(math.ceil(_HALF * smax))
+    use_fused = _fused_path_eligible(h, w, margin, prepad)
+    if prepad and not use_fused:
+        # The fused kernel (which folds the replicate pad in) won't run —
+        # either off-TPU or too large for VMEM. Apply pad_with_kernel
+        # semantics explicitly around the XLA composition; without this,
+        # large TPU images got zero-canvas borders instead of edge
+        # replication (ADVICE r1, medium).
         out = compute_polynomial_separable(
             jnp.pad(img, [(0, 0), (0, 0), (_HALF, _HALF), (_HALF, _HALF)],
                     mode="edge"),
             sigma, rho, theta, alpha, beta, smax=smax, prepad=False)
         out = out[..., _HALF:-_HALF, _HALF:-_HALF]
         return jnp.clip(out, 0.0, 1.0) if clip else out
-    bsz, csz, h, w = img.shape
     if sigma.ndim != 2:
         raise ValueError("sigma/rho/theta must be (B, C') arrays")
     if sigma.shape[1] != csz:
@@ -145,8 +177,7 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
     c_prime = jnp.maximum(c - (b * b) / a, 1e-4)
 
     # canvas: sheared-line sampling reaches at most HALF * smax columns
-    margin = int(math.ceil(_HALF * smax))
-    wc = int((w + 2 * margin + 7) // 8 * 8)
+    wc = _canvas_width(w, margin)
     pad_l = (wc - w) // 2
 
     dt = img.dtype
@@ -160,7 +191,7 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
     # content (X u going in, V...-smoothed coming out) and the identity
     # term bypasses interpolation entirely — this kills the double-
     # interpolation error of the naive Sh . Horner . Ush ordering.
-    if jax.default_backend() == "tpu" and max(h, wc) <= 640:
+    if use_fused:
         # One fused VMEM-resident Pallas program per (tile, channel); the
         # band operators are rebuilt analytically in VMEM from 5 scalars
         # per tile (materializing them in HBM costs more than the matmuls

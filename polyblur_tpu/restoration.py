@@ -146,7 +146,10 @@ def inverse_filtering_rank3(img: jnp.ndarray, kernel, alpha=2.0, beta=4.0,
     if correlate and not is_param_kernel:
         kernel = jnp.rot90(kernel, k=2, axes=(-2, -1))
     padded = pad_with_kernel(img, ksize=ksize)
-    if do_edgetaper and not is_param_kernel:
+    if do_edgetaper:
+        # Applied for parametric kernels too (deblurring.py:229-230 tapers
+        # on every method) — edgetaper builds the 2D kernel from
+        # (sigma, rho, theta) when needed.
         padded = _edgetaper.edgetaper(padded, kernel, method=method)
     imout = compute_polynomial(padded, kernel, alpha, beta, method=method)
     imout = crop_with_kernel(imout, ksize=ksize)

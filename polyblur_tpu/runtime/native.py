@@ -28,13 +28,38 @@ _I64P = ctypes.POINTER(ctypes.c_int64)
 _F32P = ctypes.POINTER(ctypes.c_float)
 
 
+_HASH_PATH = _LIB_PATH + ".srchash"
+
+
+def _src_hash() -> str:
+    import hashlib
+
+    with open(_CSRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
            _CSRC, "-o", _LIB_PATH, "-lpng", "-ljpeg"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        with open(_HASH_PATH, "w") as f:
+            f.write(_src_hash())
         return True
     except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _cached_binary_fresh() -> bool:
+    """A cached .so is used only if its recorded source hash matches the
+    reviewed C++ source. (mtimes are meaningless after a clone, and a
+    foreign/committed binary must never be dlopen'd — ADVICE r1.)"""
+    if not os.path.exists(_LIB_PATH) or not os.path.exists(_HASH_PATH):
+        return False
+    try:
+        with open(_HASH_PATH) as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
         return False
 
 
@@ -45,8 +70,7 @@ def load_library():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_CSRC)):
+        if not _cached_binary_fresh():
             if not _build():
                 return None
         try:

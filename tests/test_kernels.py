@@ -152,6 +152,41 @@ def test_sep_poly_prepad_matches_padded_call():
     np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
 
 
+def test_fused_path_eligibility_accounts_for_prepad():
+    """Guard regression (ADVICE r1, medium): on TPU, prepad inputs that
+    exceed the fused kernel's VMEM gate must take the explicitly padded
+    XLA path, never a pad-less fallthrough. The gate must also account for
+    the internal 2*HALF growth of the prepad canvas."""
+    from polyblur_tpu.ops.sep_poly import _fused_path_eligible
+
+    # non-TPU backends never take the fused path
+    assert not _fused_path_eligible(64, 64, 18, False, backend="cpu")
+    # small tiles on TPU: eligible, with or without prepad
+    assert _fused_path_eligible(400, 400, 18, True, backend="tpu")
+    # >640 rows: ineligible regardless of prepad
+    assert not _fused_path_eligible(700, 400, 18, False, backend="tpu")
+    assert not _fused_path_eligible(700, 400, 18, True, backend="tpu")
+    # boundary: fits without prepad but the +2*HALF growth tips it over
+    assert _fused_path_eligible(630, 400, 18, False, backend="tpu")
+    assert not _fused_path_eligible(630, 400, 18, True, backend="tpu")
+
+
+def test_sep_poly_prepad_large_image_replicates_edges():
+    """prepad on a >640px image must behave like pad_with_kernel + crop
+    (the exact semantics inverse_filtering_rank3 relies on), not a
+    zero-canvas composition. On CPU this exercises the same explicit-pad
+    branch that large TPU images now route through."""
+    rng = np.random.default_rng(12)
+    img = jnp.asarray(rng.uniform(size=(1, 1, 660, 96)).astype(np.float32))
+    sg = jnp.asarray([[2.0]])
+    rh = jnp.asarray([[1.0]])
+    th = jnp.asarray([[0.3]])
+    a = compute_polynomial_separable(pad_with_kernel(img, ksize=25),
+                                     sg, rh, th, 6.0, 1.0)[..., 12:-12, 12:-12]
+    b = compute_polynomial_separable(img, sg, rh, th, 6.0, 1.0, prepad=True)
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
 def test_separable_pipeline_quality_close_to_fft(peacock):
     """Fast-path restoration quality must match the FFT oracle path in
     expectation over a kernel sweep (0.1 dB mean gate, BASELINE.md).

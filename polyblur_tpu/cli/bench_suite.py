@@ -83,17 +83,31 @@ def main(argv=None):
                  f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
 
     # --- config 2: 2MP RGB, full pipeline -----------------------------
+    # Production treatment: tiled through the patch engine so the whole
+    # feature set (taper + DT prefilter + halo) runs inside the mega
+    # kernel (one HBM read/write per tile for all 3 iterations). The
+    # whole-image fft path is kept as a secondary row — it is the oracle
+    # backend, not the serving path.
+    from ..patches import deblur_patches
+
     h2, w2 = (600, 800) if args.quick else (1200, 1600)
     reps = (h2 // peacock.shape[0] + 1, w2 // peacock.shape[1] + 1, 1)
     rgb2 = np.tile(peacock, reps)[:h2, :w2]
     x2 = jnp.asarray(rgb2.transpose(2, 0, 1))[None]
+    full_kw = dict(n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+                   remove_halo=True, edgetaping=True, prefiltering=True,
+                   smoother="domain_transform")
     f2 = jax.jit(functools.partial(
-        polyblur_core, n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
-        method="fft", remove_halo=True, edgetaping=True, prefiltering=True,
-        smoother="domain_transform"))
+        deblur_patches, patch_size=400, overlap=0.25,
+        method="direct_separable", **full_kw))
     dt = _time(f2, x2, chain=2)
     mp = h2 * w2 / 1e6
-    rows.append((f"2. {mp:.1f}MP RGB full pipeline (taper+DT+halo)",
+    rows.append((f"2. {mp:.1f}MP RGB full pipeline (taper+DT+halo, tiled)",
+                 f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
+
+    f2b = jax.jit(functools.partial(polyblur_core, method="fft", **full_kw))
+    dt = _time(f2b, x2, chain=2)
+    rows.append((f"2b. {mp:.1f}MP full pipeline, whole-image fft (oracle)",
                  f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
 
     # --- config 3: batched + (c, b) sweep -----------------------------

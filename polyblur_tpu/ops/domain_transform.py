@@ -77,14 +77,21 @@ def _sigma_schedule(sigma_s: float, num_iterations: int):
 
 def recursive_filter(img: jnp.ndarray, sigma_s: float = 60.0,
                      sigma_r: float = 0.4, num_iterations: int = 3,
-                     joint_image=None, backend: str = "xla") -> jnp.ndarray:
+                     joint_image=None, backend: str = "auto") -> jnp.ndarray:
     """Edge-aware recursive smoothing (RF variant).
 
     :param img: (B, C, H, W)
     :param joint_image: optional guide image (B, C', H, W)
-    :param backend: 'xla' (associative scan) or 'pallas' (row-blocked kernel)
+    :param backend: 'auto' | 'xla' (associative scan) | 'pallas'
+        (VMEM-resident kernel). The XLA log-depth scan is HBM-bound — each
+        doubling step round-trips the whole array — so 'auto' picks the
+        Pallas kernel on TPU whenever a (H, W) slab fits VMEM.
     :return: (B, C, H, W) smoothed image
     """
+    if backend == "auto":
+        h, w = img.shape[-2:]
+        on_tpu = jax.default_backend() == "tpu"
+        backend = "pallas" if on_tpu and h * w * 4 * 3 <= 64 * 2**20 else "xla"
     J = img if joint_image is None else joint_image
     dHdx, dVdy_t = _domain_transform_derivatives(J, sigma_s, sigma_r)
 

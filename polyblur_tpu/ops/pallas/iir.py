@@ -36,6 +36,14 @@ def _shift_right_fill(v, k, fill):
     return jnp.concatenate([pad, v[:, :-k]], axis=1)
 
 
+def _shift_left_fill(v, k, fill):
+    """out[x] = v[x + k] for x < w - k, else fill (identity-map padding)."""
+    if k == 0:
+        return v
+    pad = jnp.full_like(v[:, :k], fill)
+    return jnp.concatenate([v[:, k:], pad], axis=1)
+
+
 def _prefix_affine(a, b, w):
     """Inclusive prefix composition of affine maps (a, b) along lanes:
     returns (A, B) with y[i] = (A_i, B_i) applied to y[-1]=0, i.e. y = B."""
@@ -50,6 +58,21 @@ def _prefix_affine(a, b, w):
     return a, b
 
 
+def _suffix_affine(a, b, w):
+    """Inclusive suffix composition: returns (A, B) with
+    z[i] = a[i] z[i+1] + b[i] solved as z = B (z[w] = 0). The mirror of
+    :func:`_prefix_affine` — left shifts instead of right shifts, so no
+    lane reversal is needed (``lax.rev`` has no Mosaic lowering)."""
+    step = 1
+    while step < w:
+        a_next = _shift_left_fill(a, step, 1.0)
+        b_next = _shift_left_fill(b, step, 0.0)
+        b = a * b_next + b
+        a = a * a_next
+        step *= 2
+    return a, b
+
+
 def _iir_kernel(x_ref, v_ref, out_ref):
     _, h, w = x_ref.shape
     x = x_ref[0].astype(jnp.float32)
@@ -60,13 +83,11 @@ def _iir_kernel(x_ref, v_ref, out_ref):
     vf = jnp.where(col0, 0.0, v)
     _, y = _prefix_affine(vf, (1.0 - vf) * x, w)
 
-    # backward: coefficients shifted one left, scan on reversed axis
+    # backward: coefficients shifted one left, suffix scan (no reversal)
     colL = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) == (w - 1)
-    vs = jnp.where(colL, 0.0, jnp.concatenate([v[:, 1:], v[:, :1]], axis=1))
-    yr = y[:, ::-1]
-    vr = vs[:, ::-1]
-    _, zr = _prefix_affine(vr, (1.0 - vr) * yr, w)
-    out_ref[0] = zr[:, ::-1].astype(out_ref.dtype)
+    vs = jnp.where(colL, 0.0, _shift_left_fill(v, 1, 0.0))
+    _, z = _suffix_affine(vs, (1.0 - vs) * y, w)
+    out_ref[0] = z.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -8,11 +8,24 @@ deblurring; every intermediate of every iteration lives in VMEM. This is
 the terminal point of the fusion ladder (see ops/pallas/sep_poly_fused.py
 for the per-application kernel and its design history).
 
-Applicability: the default hot configuration only — q == 0, no saturation
-mask, shared (non-multichannel) kernel, no halo/edgetaper/prefilter,
-ker_size 25, n_interpolated_angles == 30 (which makes the interpolated
-angle grid exactly 6-degree-integer, so the reference's integer-truncated
-grids are exact). Everything else falls back to the composed path.
+Applicability: the hot configurations — q == 0, no saturation mask, shared
+(non-multichannel) kernel, ker_size 25, n_interpolated_angles == 30 (which
+makes the interpolated angle grid exactly 6-degree-integer, so the
+reference's integer-truncated grids are exact). The full feature set runs
+in-kernel too (BASELINE config 2):
+
+* ``do_taper`` — 3 edgetaper blend iterations on the padded canvas; the
+  taper weight map is rebuilt per iteration from the estimated kernel's
+  discrete axis-projection autocorrelations (edgetaper.py:10-23 semantics)
+  and the blur is the same shear-factorized band operator as the
+  polynomial (2 extra MXU matmuls + 2 shears per taper iteration);
+* ``do_halo`` — gradient-inversion masking (deblurring.py:193-208) via the
+  prefetched spectral-derivative matrices, 4 extra matmuls per channel;
+* ``prefilter`` — 'bilateral' (5x5 shift-accumulate, VPU) or 'dt'
+  (Gastal-Oliveira recursive filter, 1 iteration: Hillis-Steele affine
+  scans along rows and columns in VMEM — ops/pallas/iir.py's algorithm).
+
+Everything else falls back to the composed path.
 
 Scalar estimation stages are computed with (1, 128)-lane vector tricks:
 the 30 interpolated magnitudes live in lanes 0..29 of one vector, argmin
@@ -57,7 +70,60 @@ def _interp_weights_np():
     return w.astype(np.float32)
 
 
-def _make_kernel(n_iter: int, margin: int, csz: int):
+def _iir_bidi(x, v):
+    """Bidirectional first-order IIR along rows of a (H, W) f32 block —
+    the same Hillis-Steele affine prefix/suffix compositions as
+    ops/pallas/iir.py, inlined for use inside the mega-kernel."""
+    from .iir import _prefix_affine, _suffix_affine, _shift_left_fill
+
+    h, w = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    vf = jnp.where(col == 0, 0.0, v)
+    _, y = _prefix_affine(vf, (1.0 - vf) * x, w)
+    vs = jnp.where(col == (w - 1), 0.0, _shift_left_fill(v, 1, 0.0))
+    _, z = _suffix_affine(vs, (1.0 - vs) * y, w)
+    return z
+
+
+def _replicate_pad2d(x, pad: int):
+    """Replicate-pad a (H, W) block by ``pad`` on every side, in VMEM."""
+    h, w = x.shape
+    top = jnp.broadcast_to(x[:1], (pad, w))
+    bot = jnp.broadcast_to(x[-1:], (pad, w))
+    x = jnp.concatenate([top, x, bot], axis=0)
+    left = jnp.broadcast_to(x[:, :1], (h + 2 * pad, pad))
+    right = jnp.broadcast_to(x[:, -1:], (h + 2 * pad, pad))
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+_BIL_K = 5
+_BIL_SIGMA_SPATIAL = 5.0
+_BIL_SIGMA_COLOR = 0.1
+
+
+def _bilateral5(x):
+    """5x5 bilateral filter of one (H, W) f32 block (ops/bilateral.py
+    semantics: replicate pad, reference spatial grid, 1e-5 guard)."""
+    h, w = x.shape
+    t = np.arange(-_BIL_K // 2 + 1, _BIL_K // 2 + 1)
+    gw = np.exp(-(t[None, :] ** 2 + t[:, None] ** 2)
+                / (2.0 * _BIL_SIGMA_SPATIAL ** 2))
+    inv_var2 = 1.0 / (2.0 * _BIL_SIGMA_COLOR ** 2)
+    padded = _replicate_pad2d(x, _BIL_K // 2)
+    num = jnp.zeros_like(x)
+    den = jnp.zeros_like(x)
+    for dy in range(_BIL_K):
+        for dx in range(_BIL_K):
+            shifted = padded[dy:dy + h, dx:dx + w]
+            d = shifted - x
+            f = jnp.exp(-d * d * inv_var2) * jnp.float32(gw[dy, dx])
+            num = num + f * shifted
+            den = den + f
+    return num / (den + 1e-5)
+
+
+def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
+                 do_halo: bool = False, prefilter=None):
     angles = [k * math.pi / _NA for k in range(_NA + 1)]
 
     def kernel(co_ref, x_ref, dw_ref, dh_ref, wr_ref, out_ref, ts_ref):
@@ -69,6 +135,8 @@ def _make_kernel(n_iter: int, margin: int, csz: int):
         cc = co_ref[4] * co_ref[4]   # c^2 of the affine model
         bb = co_ref[5] * co_ref[5]   # b^2
         smax = co_ref[6]
+        sigma_s = co_ref[7]
+        sigma_r = co_ref[8]
 
         dw = dw_ref[...]   # (Wt, Wt) f32
         dh = dh_ref[...]   # (Ht, Ht) f32
@@ -129,6 +197,89 @@ def _make_kernel(n_iter: int, margin: int, csz: int):
             inv = 1.0 / jnp.sum(
                 jnp.where(tmask, jnp.exp(-0.5 * cp * tl * tl), 0.0))
 
+            w_in = wt + 2 * _HALF
+
+            # ---------------- taper weight map (edgetaper.py:10-23) -----
+            # Built from the *discrete* 25^2 kernel the estimate implies:
+            # the circular autocorrelation of a 25-tap axis projection over
+            # length n-1 is its 49-tap linear autocorrelation scattered to
+            # t = d mod (n-1), i.e. nonzero only at t <= 24 and
+            # t >= n-25 — 2x25 scalar selects, no FFTs.
+            if do_taper:
+                # Build the kernel in a (25, 128) lane-padded layout (lanes
+                # past 24 masked to zero — Mosaic cannot relayout 25-lane
+                # vectors), once per orientation so both axis projections
+                # come out as (1, 128) row vectors via axis-0 sums. The
+                # quadratic form swaps (qa <-> qc) under x <-> y.
+                krow = jax.lax.broadcasted_iota(
+                    jnp.int32, (25, 128), 0).astype(jnp.float32) - _HALF
+                klane = jax.lax.broadcasted_iota(
+                    jnp.int32, (25, 128), 1)
+                klm = klane < 25
+                klf = klane.astype(jnp.float32) - _HALF
+                k2d = jnp.where(
+                    klm, jnp.exp(-0.5 * (qa * klf * klf
+                                         + 2.0 * qb * klf * krow
+                                         + qc * krow * krow)), 0.0)
+                k2dT = jnp.where(
+                    klm, jnp.exp(-0.5 * (qc * klf * klf
+                                         + 2.0 * qb * klf * krow
+                                         + qa * krow * krow)), 0.0)
+                total = jnp.sum(k2d)
+                px128 = jnp.sum(k2d, axis=0, keepdims=True) / total  # x-proj
+                py128 = jnp.sum(k2dT, axis=0, keepdims=True) / total  # y-proj
+
+                def lane_autocorr(p):
+                    cs = [jnp.sum(p * p)]
+                    for d in range(1, 25):
+                        shifted = jnp.concatenate(
+                            [p[:, d:], jnp.zeros((1, d), jnp.float32)],
+                            axis=1)
+                        cs.append(jnp.sum(p * shifted))
+                    return cs
+
+                cy = lane_autocorr(py128)
+                cx = lane_autocorr(px128)
+                rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+                zv = jnp.zeros((h, 1), jnp.float32)
+                for d in range(25):
+                    zv = zv + cy[d] * ((rows_i == d)
+                                       + (rows_i == h - 1 - d)
+                                       ).astype(jnp.float32)
+                av = 1.0 - zv / cy[0]  # (h, 1)
+                cols_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, wc), 1) - margin
+                zh = jnp.zeros((1, wc), jnp.float32)
+                for d in range(25):
+                    zh = zh + cx[d] * ((cols_i == d)
+                                       + (cols_i == w_in - 1 - d)
+                                       ).astype(jnp.float32)
+                ah = 1.0 - zh / cx[0]  # (1, wc)
+                inside = jnp.logical_and(cols_i >= 0, cols_i < w_in)
+                t_alpha = av * ah  # (h, wc)
+
+            # ---------------- prefilter shared state --------------------
+            if prefilter == "dt":
+                # joint-image domain-transform derivatives over all
+                # channels (domain_transform.py:27-38), 1 iteration so
+                # sigma_H_1 == sigma_s and the feedback a = exp(-sqrt2/s)
+                dx_acc = jnp.zeros((ht, wt - 1), jnp.float32)
+                dy_acc = jnp.zeros((ht - 1, wt), jnp.float32)
+                for ch in range(csz):
+                    f = ts_ref[ch].astype(jnp.float32)
+                    dx_acc = dx_acc + jnp.abs(f[:, 1:] - f[:, :-1])
+                    dy_acc = dy_acc + jnp.abs(f[1:, :] - f[:-1, :])
+                ratio = sigma_s / sigma_r
+                dHdx = jnp.concatenate(
+                    [jnp.zeros((ht, 1), jnp.float32), ratio * dx_acc],
+                    axis=1) + 1.0
+                dVdy = jnp.concatenate(
+                    [jnp.zeros((1, wt), jnp.float32), ratio * dy_acc],
+                    axis=0) + 1.0
+                log_a = -math.sqrt(2.0) / sigma_s
+                v_h = jnp.exp(dHdx * log_a)       # (ht, wt)
+                v_v_t = jnp.exp(dVdy.T * log_a)   # (wt, ht)
+
             # ---------------- deconvolution per channel -----------------
             # bf16 Horner intermediates (same numerics as the composed XLA
             # path, which casts after every einsum) keep VMEM pressure and
@@ -149,28 +300,70 @@ def _make_kernel(n_iter: int, margin: int, csz: int):
                     preferred_element_type=jnp.float32).astype(dt)
 
             for ch in range(csz):
-                xin = ts_ref[ch]
-                top = jnp.broadcast_to(xin[:1], (_HALF, wt))
-                bot = jnp.broadcast_to(xin[-1:], (_HALF, wt))
-                xp = jnp.concatenate([top, xin, bot], axis=0)
-                left = jnp.broadcast_to(xp[:, :1], (h, _HALF))
-                right = jnp.broadcast_to(xp[:, -1:], (h, _HALF))
-                xp = jnp.concatenate([left, xp, right], axis=1)
-                zm = jnp.zeros((h, margin), dt)
-                xc = jnp.concatenate([zm, xp, zm], axis=1)  # (H, Wc)
+                xin_f = ts_ref[ch].astype(jnp.float32)
+                if prefilter == "bilateral":
+                    smooth = _bilateral5(xin_f)
+                    noise = xin_f - smooth
+                    xin_f = smooth
+                elif prefilter == "dt":
+                    smooth = _iir_bidi(xin_f, v_h)
+                    smooth = _iir_bidi(smooth.T, v_v_t).T
+                    noise = xin_f - smooth
+                    xin_f = smooth
 
-                wsh = _row_shift(xconv(xc).astype(jnp.float32),
+                xp = _replicate_pad2d(xin_f, _HALF)  # (h, w_in)
+                zm = jnp.zeros((h, margin), jnp.float32)
+                xc = jnp.concatenate([zm, xp, zm], axis=1)  # (H, Wc) f32
+
+                if do_taper:
+                    # u <- alpha u + (1 - alpha) K u, 3 times; K is the
+                    # same shear-factorized operator as the polynomial
+                    for _ in range(3):
+                        ku = _row_shift(
+                            vconv(xconv(_row_shift(xc, s, h, wc).astype(dt))
+                                  ).astype(jnp.float32), -s, h, wc)
+                        xc = jnp.where(
+                            inside, t_alpha * xc + (1.0 - t_alpha) * ku, xc)
+
+                xcd = xc.astype(dt)
+                wsh = _row_shift(xconv(xcd).astype(jnp.float32),
                                  s, h, wc).astype(dt)
                 r = (a3 * wsh.astype(jnp.float32)).astype(dt)
                 r = (a2 * wsh.astype(jnp.float32)
                      + xconv(vconv(r)).astype(jnp.float32)).astype(dt)
                 r = (a1 * wsh.astype(jnp.float32)
                      + xconv(vconv(r)).astype(jnp.float32)).astype(dt)
-                o = beta * xc.astype(jnp.float32) \
+                o_full = beta * xc \
                     + _row_shift(vconv(r).astype(jnp.float32), -s, h, wc)
+                o = o_full[_HALF:h - _HALF,
+                           margin + _HALF:margin + _HALF + wt]
+
+                if do_halo:
+                    # gradient-inversion masking (deblurring.py:193-208,
+                    # grad_prod_ bug fixed): input grads from the ORIGINAL
+                    # tile (pipeline.py computes grad_img once)
+                    x0 = x_ref[0, ch].astype(jnp.float32)
+                    gx0 = jax.lax.dot_general(
+                        x0, dw, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    gy0 = jax.lax.dot(dh, x0,
+                                      preferred_element_type=jnp.float32)
+                    gox = jax.lax.dot_general(
+                        o, dw, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    goy = jax.lax.dot(dh, o,
+                                      preferred_element_type=jnp.float32)
+                    M = -(gx0 * gox) - (gy0 * goy)
+                    nM = jnp.sum(gx0 * gx0 + gy0 * gy0)
+                    z = jnp.clip(M / (nM + M + 1e-12), 0.0, None)
+                    u_cmp = xc[_HALF:h - _HALF,
+                               margin + _HALF:margin + _HALF + wt]
+                    o = o + z * (u_cmp - o)
+
                 o = jnp.clip(o, 0.0, 1.0)
-                ts_ref[ch] = o[_HALF:h - _HALF,
-                               margin + _HALF:margin + _HALF + wt].astype(dt)
+                if prefilter is not None:
+                    o = jnp.clip(o + noise, 0.0, 1.0)
+                ts_ref[ch] = o.astype(dt)
             return carry
 
         ts_ref[...] = x_ref[0]
@@ -180,7 +373,8 @@ def _make_kernel(n_iter: int, margin: int, csz: int):
     return kernel
 
 
-def _fused_call(x, coeffs, n_iter, margin, interpret=False):
+def _fused_call(x, coeffs, n_iter, margin, do_taper=False, do_halo=False,
+                prefilter=None, interpret=False):
     t, c, ht, wt = x.shape
     dw = jnp.asarray(_derivative_matrix_np(wt))
     dh = jnp.asarray(_derivative_matrix_np(ht))
@@ -199,7 +393,8 @@ def _fused_call(x, coeffs, n_iter, margin, interpret=False):
         scratch_shapes=[pltpu.VMEM((c, ht, wt), x.dtype)],
     )
     return pl.pallas_call(
-        _make_kernel(n_iter, margin, c),
+        _make_kernel(n_iter, margin, c, do_taper=do_taper, do_halo=do_halo,
+                     prefilter=prefilter),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -208,19 +403,25 @@ def _fused_call(x, coeffs, n_iter, margin, interpret=False):
     )(coeffs.astype(jnp.float32), x, dw, dh, jnp.asarray(w_rows))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def polyblur_tiles_fused(x, coeffs, n_iter, margin, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def polyblur_tiles_fused(x, coeffs, n_iter, margin, do_taper=False,
+                         do_halo=False, prefilter=None, interpret=False):
     """N blind Polyblur iterations on a tile batch, fully in-kernel.
 
     :param x: (T, C, Ht, Wt) tiles in [0, 1]
-    :param coeffs: (7,) [a3, a2, a1, beta, c, b, smax]
+    :param coeffs: (9,) [a3, a2, a1, beta, c, b, smax, sigma_s, sigma_r]
     :param n_iter: static iteration count
     :param margin: static shear-canvas margin (ceil(HALF * smax))
+    :param do_taper, do_halo, prefilter: static feature flags
+        (prefilter in {None, 'bilateral', 'dt'})
     """
-    return _fused_call(x, coeffs, n_iter, margin, interpret=interpret)
+    return _fused_call(x, coeffs, n_iter, margin, do_taper=do_taper,
+                       do_halo=do_halo, prefilter=prefilter,
+                       interpret=interpret)
 
 
-def _ref_pipeline(x, coeffs, n_iter):
+def _ref_pipeline(x, coeffs, n_iter, do_taper=False, do_halo=False,
+                  prefilter=None):
     """Composed XLA pipeline with identical math — backward-pass and
     cross-check oracle (polyblur_core with the mega kernel disabled)."""
     from ...pipeline import polyblur_core
@@ -229,19 +430,27 @@ def _ref_pipeline(x, coeffs, n_iter):
     # invert the Horner coefficients back to (alpha, beta):
     # a3 = alpha/2 - beta + 2  =>  alpha = 2*(a3 + beta - 2)
     alpha = 2.0 * (a3 + beta - 2.0)
+    smoother = "domain_transform" if prefilter == "dt" else "bilateral"
     return polyblur_core(x, n_iter=n_iter, c=coeffs[4], b=coeffs[5],
-                         alpha=alpha, beta=beta, method="direct_separable",
-                         _disable_mega=True)
+                         alpha=alpha, beta=beta, sigma_s=coeffs[7],
+                         sigma_r=coeffs[8], method="direct_separable",
+                         edgetaping=do_taper, remove_halo=do_halo,
+                         prefiltering=prefilter is not None,
+                         smoother=smoother, _disable_mega=True)
 
 
-def _fwd(x, coeffs, n_iter, margin, interpret):
-    return _fused_call(x, coeffs, n_iter, margin, interpret=interpret), (
-        x, coeffs)
+def _fwd(x, coeffs, n_iter, margin, do_taper, do_halo, prefilter, interpret):
+    return _fused_call(x, coeffs, n_iter, margin, do_taper=do_taper,
+                       do_halo=do_halo, prefilter=prefilter,
+                       interpret=interpret), (x, coeffs)
 
 
-def _bwd(n_iter, margin, interpret, res, g):
+def _bwd(n_iter, margin, do_taper, do_halo, prefilter, interpret, res, g):
     x, coeffs = res
-    _, vjp = jax.vjp(lambda x_, c_: _ref_pipeline(x_, c_, n_iter), x, coeffs)
+    _, vjp = jax.vjp(
+        lambda x_, c_: _ref_pipeline(x_, c_, n_iter, do_taper=do_taper,
+                                     do_halo=do_halo, prefilter=prefilter),
+        x, coeffs)
     return vjp(g)
 
 

@@ -13,6 +13,8 @@ Everything here is float64 NumPy; no JAX, no torch.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 __all__ = [
@@ -24,6 +26,7 @@ __all__ = [
     "polynomial_coefficients",
     "compute_polynomial_fft",
     "p2o",
+    "normalized_convolution",
 ]
 
 
@@ -139,3 +142,65 @@ def compute_polynomial_fft(image: np.ndarray, kernel: np.ndarray,
     X = K * X + a1 * Y
     X = K * X + beta * Y
     return np.real(np.fft.ifft2(X))
+
+
+def _nc_box_filter_rows(F: np.ndarray, ct: np.ndarray,
+                        box_radius: float) -> np.ndarray:
+    """Normalized box filter along rows in the transformed domain, float64.
+
+    Independent re-derivation of NC.cpp:50-140 (channel-generic; the C++
+    hardcodes 3 channels at :131-133). The transformed coordinate ``ct`` is
+    strictly increasing along rows (dHdx >= 1), so the C++'s incremental
+    ``find(... > bound)`` scan is exactly a right-sided searchsorted; the
+    box sum is a summed-area-table difference normalized by the (count +
+    1e-4) guard of NC.cpp:137.
+    """
+    b, c, h, w = F.shape
+    out = np.empty_like(F)
+    for bi in range(b):
+        for y in range(h):
+            row = ct[bi, y]
+            l_idx = np.searchsorted(row, row - box_radius, side="right")
+            u_idx = np.searchsorted(row, row + box_radius, side="right")
+            sat = np.zeros((c, w + 1), np.float64)
+            sat[:, 1:] = np.cumsum(F[bi, :, y, :], axis=-1)
+            out[bi, :, y, :] = (sat[:, u_idx] - sat[:, l_idx]) \
+                / (u_idx - l_idx + 1e-4)
+    return out
+
+
+def normalized_convolution(img: np.ndarray, sigma_s: float = 60.0,
+                           sigma_r: float = 0.4,
+                           num_iterations: int = 3) -> np.ndarray:
+    """Edge-aware smoothing, normalized-convolution variant, float64.
+
+    Independent oracle for NC.cpp:143-204: l1 joint-image derivatives,
+    dHdx = 1 + (sigma_s / sigma_r) |dI|, cumulated transforms, and the
+    per-iteration sigma_H_i schedule (Gastal eq. 14, NC.cpp:191) with
+    box_radius = sqrt(3) sigma_H_i; horizontal then transposed-vertical
+    box passes per iteration.
+
+    :param img: (B, C, H, W)
+    """
+    img = np.asarray(img, np.float64)
+    b, c, h, w = img.shape
+    dIdx = np.zeros((b, h, w), np.float64)
+    dIdy = np.zeros((b, h, w), np.float64)
+    dIdx[:, :, 1:] = np.sum(np.abs(np.diff(img, axis=3)), axis=1)
+    dIdy[:, 1:, :] = np.sum(np.abs(np.diff(img, axis=2)), axis=1)
+    dHdx = 1.0 + (sigma_s / sigma_r) * dIdx
+    dVdy = 1.0 + (sigma_s / sigma_r) * dIdy
+    ct_H = np.cumsum(dHdx, axis=2)
+    ct_V = np.transpose(np.cumsum(dVdy, axis=1), (0, 2, 1))
+
+    F = img.copy()
+    N = num_iterations
+    for i in range(num_iterations):
+        sigma_H_i = sigma_s * math.sqrt(3.0) * 2.0 ** (N - (i + 1)) \
+            / math.sqrt(4.0 ** N - 1.0)
+        box_radius = math.sqrt(3.0) * sigma_H_i
+        F = _nc_box_filter_rows(F, ct_H, box_radius)
+        F = np.transpose(F, (0, 1, 3, 2))
+        F = _nc_box_filter_rows(F, ct_V, box_radius)
+        F = np.transpose(F, (0, 1, 3, 2))
+    return F

@@ -76,14 +76,16 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
     computed once from the original input (deblurring.py:61).
     """
     if (method == "direct_separable" and not _disable_mega and not remat
-            and not (remove_halo or edgetaping or prefiltering
-                     or discard_saturation or multichannel_kernel)
+            and not (discard_saturation or multichannel_kernel)
+            and (not prefiltering
+                 or smoother in ("bilateral", "domain_transform"))
             and q == 0.0 and ker_size == 25 and n_angles == 6
             and n_interpolated_angles == 30
             and max(img.shape[-2:]) <= 512
             and jax.default_backend() == "tpu"):
         # the whole-pipeline mega-kernel: every iteration of estimation +
-        # deconvolution in one VMEM-resident program per tile
+        # (optional prefilter/edgetaper/halo) + deconvolution in one
+        # VMEM-resident program per tile
         from .ops.pallas.polyblur_fused import polyblur_tiles_fused
 
         a3 = alpha / 2.0 - beta + 2.0
@@ -91,11 +93,18 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
         a1 = 5.0 - 3.0 * beta + alpha / 2.0
         smax = 1.5
         coeffs = jnp.stack([jnp.asarray(v, jnp.float32)
-                            for v in (a3, a2, a1, beta, c, b, smax)])
+                            for v in (a3, a2, a1, beta, c, b, smax,
+                                      sigma_s, sigma_r)])
         import math as _math
 
+        prefilter = None
+        if prefiltering:
+            prefilter = "dt" if smoother == "domain_transform" else "bilateral"
         return polyblur_tiles_fused(img, coeffs, n_iter,
-                                    int(_math.ceil(12 * smax)))
+                                    int(_math.ceil(12 * smax)),
+                                    do_taper=edgetaping,
+                                    do_halo=remove_halo,
+                                    prefilter=prefilter)
 
     grad_img = spectral_gradients(img) if remove_halo else None
     return_2d_filters = method != "direct_separable"

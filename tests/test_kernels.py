@@ -283,8 +283,9 @@ def test_mega_kernel_interpret_matches_pipeline(peacock):
     a3 = alpha / 2 - beta + 2
     a2 = 3 * beta - alpha - 6
     a1 = 5 - 3 * beta + alpha / 2
-    coeffs = jnp.asarray([a3, a2, a1, beta, 0.362, 0.468, 1.5], jnp.float32)
-    out = polyblur_tiles_fused(x, coeffs, 2, 18, True)
+    coeffs = jnp.asarray([a3, a2, a1, beta, 0.362, 0.468, 1.5, 2.0, 0.8],
+                         jnp.float32)
+    out = polyblur_tiles_fused(x, coeffs, 2, 18, interpret=True)
     ref = polyblur_core(x, n_iter=2, c=0.362, b=0.468, alpha=alpha,
                         beta=beta, method="direct_separable")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
@@ -298,10 +299,89 @@ def test_mega_kernel_odd_sizes_interpret(peacock):
     x = jnp.asarray(peacock[:101, :117].transpose(2, 0, 1))[None]
     alpha, beta = 6.0, 1.0
     coeffs = jnp.asarray([alpha / 2 - beta + 2, 3 * beta - alpha - 6,
-                          5 - 3 * beta + alpha / 2, beta, 0.362, 0.468, 1.5],
+                          5 - 3 * beta + alpha / 2, beta, 0.362, 0.468, 1.5,
+                          2.0, 0.8],
                          jnp.float32)
-    out = polyblur_tiles_fused(x, coeffs, 1, 18, True)
+    out = polyblur_tiles_fused(x, coeffs, 1, 18, interpret=True)
     ref = polyblur_core(x, n_iter=1, c=0.362, b=0.468, alpha=alpha,
                         beta=beta, method="direct_separable")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
                                rtol=0)
+
+
+def _mega_coeffs(alpha=6.0, beta=1.0, c=0.362, b=0.468, smax=1.5,
+                 sigma_s=2.0, sigma_r=0.8):
+    return jnp.asarray([alpha / 2 - beta + 2, 3 * beta - alpha - 6,
+                        5 - 3 * beta + alpha / 2, beta, c, b, smax,
+                        sigma_s, sigma_r], jnp.float32)
+
+
+def test_mega_kernel_halo_interpret_matches_pipeline(peacock):
+    """In-kernel gradient-inversion masking vs the composed pipeline."""
+    from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused
+    from polyblur_tpu.pipeline import polyblur_core
+
+    x = jnp.asarray(peacock[:96, :112].transpose(2, 0, 1))[None]
+    out = polyblur_tiles_fused(x, _mega_coeffs(), 2, 18, do_halo=True,
+                               interpret=True)
+    ref = polyblur_core(x, n_iter=2, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+                        method="direct_separable", remove_halo=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4,
+                               rtol=0)
+
+
+def test_mega_kernel_prefilters_interpret_match_pipeline(peacock):
+    """In-kernel bilateral / domain-transform prefilters vs the composed
+    pipeline (same smoother wired through polyblur_core)."""
+    from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused
+    from polyblur_tpu.pipeline import polyblur_core
+
+    x = jnp.asarray(peacock[:96, :112].transpose(2, 0, 1))[None]
+    for prefilter, smoother in (("bilateral", "bilateral"),
+                                ("dt", "domain_transform")):
+        out = polyblur_tiles_fused(x, _mega_coeffs(), 2, 18,
+                                   prefilter=prefilter, interpret=True)
+        ref = polyblur_core(x, n_iter=2, c=0.362, b=0.468, alpha=6.0,
+                            beta=1.0, method="direct_separable",
+                            prefiltering=True, smoother=smoother)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=0, err_msg=prefilter)
+
+
+def test_mega_kernel_taper_interpret_close_to_pipeline(peacock):
+    """In-kernel edgetaper: the blur operator is the shear-factorized band
+    operator on the zero-margin canvas, while the composed path tapers with
+    the ortho/oblique separable convolution on the replicate-padded image —
+    same weight map, slightly different blur borders. Interiors must agree
+    tightly; whole-image agreement is gated at the parity scale."""
+    from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused
+    from polyblur_tpu.pipeline import polyblur_core
+    from conftest import psnr
+
+    x = jnp.asarray(peacock[:96, :112].transpose(2, 0, 1))[None]
+    out = polyblur_tiles_fused(x, _mega_coeffs(), 2, 18, do_taper=True,
+                               interpret=True)
+    ref = polyblur_core(x, n_iter=2, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+                        method="direct_separable", edgetaping=True)
+    inner = np.abs(np.asarray(out - ref))[..., 16:-16, 16:-16]
+    assert inner.max() < 3e-3, inner.max()
+    assert psnr(np.asarray(out), np.asarray(ref)) > 40.0
+
+
+def test_mega_kernel_full_features_interpret(peacock):
+    """The BASELINE config-2 feature set (taper + DT prefilter + halo), all
+    in one kernel, against the composed pipeline."""
+    from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused
+    from polyblur_tpu.pipeline import polyblur_core
+    from conftest import psnr
+
+    x = jnp.asarray(peacock[:96, :112].transpose(2, 0, 1))[None]
+    out = polyblur_tiles_fused(x, _mega_coeffs(), 2, 18, do_taper=True,
+                               do_halo=True, prefilter="dt", interpret=True)
+    ref = polyblur_core(x, n_iter=2, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+                        method="direct_separable", remove_halo=True,
+                        edgetaping=True, prefiltering=True,
+                        smoother="domain_transform")
+    inner = np.abs(np.asarray(out - ref))[..., 16:-16, 16:-16]
+    assert inner.max() < 5e-3, inner.max()
+    assert psnr(np.asarray(out), np.asarray(ref)) > 38.0

@@ -141,6 +141,35 @@ def test_iir_scan_matches_sequential():
     np.testing.assert_allclose(out, z, atol=1e-5, rtol=0)
 
 
+def test_nc_matches_oracle():
+    """VERDICT r1 item 5: numerical parity of the normalized-convolution
+    smoother against an independent float64 NumPy re-derivation of
+    NC.cpp:50-204 (searchsorted box bounds + SAT gather + sigma schedule)."""
+    rng = np.random.default_rng(21)
+    img = rng.uniform(size=(2, 3, 24, 31)).astype(np.float32)
+    for sigma_s, sigma_r, n in ((60.0, 0.4, 3), (8.0, 0.25, 1),
+                                (25.0, 0.1, 2)):
+        want = oracle.normalized_convolution(img, sigma_s=sigma_s,
+                                             sigma_r=sigma_r,
+                                             num_iterations=n)
+        got = normalized_convolution(jnp.asarray(img), sigma_s=sigma_s,
+                                     sigma_r=sigma_r, num_iterations=n)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=0,
+                                   err_msg=f"{sigma_s}/{sigma_r}/{n}")
+
+
+def test_nc_oracle_channel_generic():
+    """The C++ hardcodes 3 channels (NC.cpp:131-133); both ours and the
+    oracle must be channel-generic — cross-check at C=1 and C=4."""
+    rng = np.random.default_rng(22)
+    for c in (1, 4):
+        img = rng.uniform(size=(1, c, 16, 20)).astype(np.float32)
+        want = oracle.normalized_convolution(img, 20.0, 0.3, 2)
+        got = normalized_convolution(jnp.asarray(img), sigma_s=20.0,
+                                     sigma_r=0.3, num_iterations=2)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=0)
+
+
 def test_normalized_convolution_smooths_but_keeps_edges():
     # flat regions smooth to near-constant; a strong edge survives
     img = np.zeros((1, 1, 16, 64), np.float32)

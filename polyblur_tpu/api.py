@@ -97,8 +97,9 @@ class PolyblurDeblurring:
         self.patch_decomposition = patch_decomposition
         self.patch_size = patch_size
         self.patch_overlap = patch_overlap
-        # Kept for API parity; tiles are processed as one device batch (the
-        # reference chunks them for GPU memory, deblurring.py:310-336).
+        # Memory ceiling: at most batch_size tile coordinates per device
+        # batch, like the reference's sequential loop (deblurring.py:310-336).
+        # batch_size <= 0 processes all tiles at once (TPU throughput mode).
         self.batch_size = batch_size
 
     def __call__(self, images, n_iter: int = 1, c=0.352, b=0.468, alpha=2.0,
@@ -121,6 +122,7 @@ class PolyblurDeblurring:
         if self.patch_decomposition:
             out = deblur_patches(
                 x, patch_size=self.patch_size, overlap=self.patch_overlap,
+                batch_size=self.batch_size,
                 **cfg.traced_kwargs(), **cfg.static_kwargs())
         else:
             out = _run(x, cfg)

@@ -14,9 +14,10 @@ lowers to in-place dynamic-update-slices).
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .utils.imaging import build_window
@@ -92,13 +93,17 @@ def overlap_add(patches: jnp.ndarray, grid: PatchGrid, batch: int,
 
 def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
                    overlap: float = 0.25, window_type: str = "kaiser",
+                   batch_size: Optional[int] = None,
                    **polyblur_kwargs) -> jnp.ndarray:
-    """Whole patch path: tile -> deblur (one batch) -> overlap-add.
+    """Whole patch path: tile -> deblur -> overlap-add.
 
-    Unlike the reference's sequential ``batch_size``-sized host loop
-    (deblurring.py:310-336), all tiles are processed as one device batch;
-    memory-bound callers can shard the tile axis over a mesh instead
-    (parallel/sharding.py).
+    :param batch_size: maximum number of tile coordinates deblurred per
+        device batch — the memory ceiling of the reference's sequential host
+        loop (deblurring.py:310-336), realised here as a ``lax.scan`` over
+        fixed-size chunks so live memory is bounded by one chunk's working
+        set while the whole path stays one compiled program. ``None`` (or
+        ``>= n_tiles``) processes every tile as a single device batch, the
+        throughput-optimal setting on TPU.
     """
     from .pipeline import polyblur_core
 
@@ -106,5 +111,22 @@ def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
     h, w = images.shape[-2:]
     grid = plan_patch_grid(h, w, patch_size, overlap)
     tiles = extract_patches(images, grid)
-    restored = polyblur_core(tiles, **polyblur_kwargs)
+    n_tiles = len(grid.coords)
+    if batch_size is None or batch_size <= 0 or batch_size >= n_tiles:
+        restored = polyblur_core(tiles, **polyblur_kwargs)
+    else:
+        # Chunk by whole tile coordinates: tiles is laid out (T, B, ...)
+        # flattened, so a chunk of `batch_size` coords is batch_size*b rows
+        # (matching the reference's cat-of-batch_size-coords semantics,
+        # deblurring.py:312-314).
+        chunk = batch_size * b
+        pad = (-n_tiles * b) % chunk
+        padded = tiles
+        if pad:
+            padded = jnp.concatenate(
+                [tiles, jnp.repeat(tiles[-1:], pad, axis=0)])
+        chunks = padded.reshape(-1, chunk, *tiles.shape[1:])
+        restored = jax.lax.map(
+            lambda t: polyblur_core(t, **polyblur_kwargs), chunks)
+        restored = restored.reshape(-1, *tiles.shape[1:])[:n_tiles * b]
     return overlap_add(restored, grid, b, window_type)

@@ -145,23 +145,33 @@ def main(argv=None):
     rows.append((f"4. {mp:.0f}MP bf16 tiled per-tile est (headline)",
                  f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
 
-    # --- config 5: gradient through 3 iterations ----------------------
-    hw5 = 128 if args.quick else 256
+    # --- config 5: optax training step at 1MP with remat ---------------
+    # The full "differentiable layer in a training loop" story: an optax
+    # Adam step through PolyblurLayer(learnable=True, remat=True) — forward
+    # + backward through 3 scanned iterations, scalar-parameter update.
+    import optax
+
+    from ..layers import PolyblurLayer
+    from ..training import make_train_step
+
+    hw5 = 512 if args.quick else 1024
     x5 = jnp.asarray(rng.uniform(size=(1, 1, hw5, hw5)).astype(np.float32))
     tgt = jnp.asarray(rng.uniform(size=(1, 1, hw5, hw5)).astype(np.float32))
+    layer5 = PolyblurLayer(n_iter=3, learnable=True, remat=True,
+                           method="fft")
+    optimizer = optax.adam(1e-2)
+    params5 = layer5.init(jax.random.PRNGKey(0), x5)
+    opt_state5 = optimizer.init(params5)
+    step5 = make_train_step(layer5, optimizer)
 
-    @jax.jit
-    def grad_step(x):
-        def loss(im):
-            out = polyblur_core(im, n_iter=3, c=0.362, b=0.468, alpha=6.0,
-                                beta=1.0, method="fft", remat=True)
-            return jnp.mean((out - tgt) ** 2)
+    def train_once(x):
+        p, s, loss = step5(params5, opt_state5, x, tgt)
+        return x + 0.0 * loss  # chainable: data-dependent on the step
 
-        return x - 0.1 * jax.grad(loss)(x)
-
-    dt = _time(grad_step, x5, chain=2)
-    rows.append((f"5. training grad through 3 iters ({hw5}^2)",
-                 f"{dt * 1e3:.1f} ms", "-"))
+    dt = _time(train_once, x5, chain=2)
+    mp = hw5 * hw5 / 1e6
+    rows.append((f"5. optax Adam step, 3-iter remat layer ({mp:.0f}MP)",
+                 f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
 
     print(f"\n{'config':52s} {'latency':>10s} {'throughput':>12s}")
     for name, lat, thr in rows:

@@ -107,12 +107,20 @@ def optimize_mae(x: np.ndarray, y: np.ndarray):
 
 def calibrate(image_paths, n_kernels: int = 10, patch_size: int = 400,
               sigma_range=(0.3, 4.0), rho_ratio_range=(0.33, 1.0),
-              noise_std: float = 0.01, seed: int = 0, verbose: bool = True):
+              noise_std: float = 0.01, seed: int = 0, verbose: bool = True,
+              n_interpolated_angles: int = 180):
     """Full calibration sweep; returns dict with (c, b) per direction.
 
     The affine model: sigma^2 = m * (1/f^2) + p with m = c^2, p = -b^2,
     i.e. c = sqrt(m), b = sign(-p)*sqrt(|p|) (reference quotes b as the
     signed intercept root, README.md:100-101).
+
+    :param n_interpolated_angles: angular resolution of the measurement.
+        The reference calibrates at 180 (calibrate_blur_parameters.py:82)
+        while its estimator runs at 30 — set 30 here to match the inference
+        protocol exactly, which makes the fitted (c, b) self-consistent
+        (the estimator then recovers ground-truth sigma on held-out blurs;
+        see tests/test_runtime.py::test_calibration_round_trip).
     """
     from ..utils.io import imread_float
 
@@ -123,7 +131,8 @@ def calibrate(image_paths, n_kernels: int = 10, patch_size: int = 400,
         for _ in range(n_kernels):
             patch, s0, s1, _ = generate_blurry_patch(
                 img, rng, patch_size, sigma_range, rho_ratio_range, noise_std)
-            f_n, f_o = measure_gradient_extrema(patch)
+            f_n, f_o = measure_gradient_extrema(
+                patch, n_interpolated_angles=n_interpolated_angles)
             inv_f2_n.append(1.0 / max(f_n * f_n, 1e-12))
             sig2_n.append(s0 * s0)
             inv_f2_o.append(1.0 / max(f_o * f_o, 1e-12))
@@ -208,6 +217,9 @@ def main(argv=None):
     p.add_argument("--sigma_min", type=float, default=0.3)
     p.add_argument("--sigma_max", type=float, default=4.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n_interpolated_angles", type=int, default=180,
+                   help="angular measurement resolution (reference: 180; "
+                        "use 30 to match the estimator's inference protocol)")
     p.add_argument("--plot", action="store_true",
                    help="save calibration figures to results/")
     args = p.parse_args(argv)
@@ -225,7 +237,8 @@ def main(argv=None):
     res = calibrate(sources, n_kernels=args.n_kernels,
                     patch_size=args.patch_size,
                     sigma_range=(args.sigma_min, args.sigma_max),
-                    noise_std=args.noise_std, seed=args.seed)
+                    noise_std=args.noise_std, seed=args.seed,
+                    n_interpolated_angles=args.n_interpolated_angles)
     if args.plot:
         for path in save_plots(res):
             print(f"saved {path}")

@@ -146,9 +146,14 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
     anisotropy range (rho/sigma in [0.33, 1], calibrate_blur_parameters.py
     :209) exact at any angle, with a minimal canvas.
     """
+    from ..utils.profiling import record_dispatch
+
     bsz, csz, h, w = img.shape
     margin = int(math.ceil(_HALF * smax))
     use_fused = _fused_path_eligible(h, w, margin, prepad)
+    record_dispatch("compute_polynomial_separable",
+                    "pallas_fused" if use_fused
+                    else ("xla_band/prepad" if prepad else "xla_band"))
     if prepad and not use_fused:
         # The fused kernel (which folds the replicate pad in) won't run —
         # either off-TPU or too large for VMEM. Apply pad_with_kernel

@@ -87,6 +87,9 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
         # (optional prefilter/edgetaper/halo) + deconvolution in one
         # VMEM-resident program per tile
         from .ops.pallas.polyblur_fused import polyblur_tiles_fused
+        from .utils.profiling import record_dispatch
+
+        record_dispatch("polyblur_core", "mega_pallas")
 
         a3 = alpha / 2.0 - beta + 2.0
         a2 = 3.0 * beta - alpha - 6.0
@@ -100,12 +103,16 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
         prefilter = None
         if prefiltering:
             prefilter = "dt" if smoother == "domain_transform" else "bilateral"
-        return polyblur_tiles_fused(img, coeffs, n_iter,
-                                    int(_math.ceil(12 * smax)),
-                                    do_taper=edgetaping,
-                                    do_halo=remove_halo,
-                                    prefilter=prefilter)
+        with jax.named_scope("polyblur.mega_pallas"):
+            return polyblur_tiles_fused(img, coeffs, n_iter,
+                                        int(_math.ceil(12 * smax)),
+                                        do_taper=edgetaping,
+                                        do_halo=remove_halo,
+                                        prefilter=prefilter)
 
+    from .utils.profiling import record_dispatch
+
+    record_dispatch("polyblur_core", f"scan/{method}")
     grad_img = spectral_gradients(img) if remove_halo else None
     return_2d_filters = method != "direct_separable"
 
@@ -137,5 +144,6 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
 
     if remat:
         body = jax.checkpoint(body)
-    out, _ = jax.lax.scan(body, img, None, length=n_iter)
+    with jax.named_scope(f"polyblur.scan_{method}"):
+        out, _ = jax.lax.scan(body, img, None, length=n_iter)
     return out

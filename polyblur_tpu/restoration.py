@@ -128,9 +128,15 @@ def inverse_filtering_rank3(img: jnp.ndarray, kernel, alpha=2.0, beta=4.0,
     optionally edge-tape, apply p(K), crop back, optionally mask halos,
     clamp to [0, 1].
     """
+    from .utils.profiling import record_dispatch
+
     is_param_kernel = isinstance(kernel, (tuple, list))
     ksize = 25 if is_param_kernel else kernel.shape[-1]
-    if is_param_kernel and method == "direct_separable" and not do_edgetaper:
+    fast = (is_param_kernel and method == "direct_separable"
+            and not do_edgetaper)
+    record_dispatch("inverse_filtering_rank3",
+                    "separable_fast" if fast else f"generic/{method}")
+    if fast:
         # fast path: padding + crop + final clamp fused into the kernel
         from .ops.sep_poly import compute_polynomial_separable
 

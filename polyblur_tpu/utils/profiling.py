@@ -11,18 +11,42 @@ program are meaningless, so the TPU-native equivalents are:
 * :func:`trace` — a ``jax.profiler`` trace context whose artifacts open
   in XProf/TensorBoard for per-op device timing;
 * :func:`annotate` — ``jax.named_scope`` wrapper so pipeline stages are
-  identifiable inside the profile.
+  identifiable inside the profile;
+* :func:`record_dispatch` / :func:`dispatch_log` — a trace-time counter of
+  which backend each dispatch guard chose (mega-kernel vs fused Pallas vs
+  XLA band composition vs fft), so perf regressions in the eligibility
+  guards (pipeline.py, ops/sep_poly.py) are diagnosable without a profiler.
+  Entries are recorded once per *compilation* (the guards are Python-level
+  and run at trace time), not per call.
 """
 
 from __future__ import annotations
 
+import collections
 import contextlib
 import time
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["stage_timer", "trace", "annotate", "force_execution"]
+__all__ = ["stage_timer", "trace", "annotate", "force_execution",
+           "record_dispatch", "dispatch_log", "reset_dispatch_log"]
+
+_DISPATCH_LOG: collections.Counter = collections.Counter()
+
+
+def record_dispatch(site: str, backend: str) -> None:
+    """Record that dispatch guard ``site`` selected ``backend`` (trace time)."""
+    _DISPATCH_LOG[(site, backend)] += 1
+
+
+def dispatch_log() -> dict:
+    """{(site, backend): n_compilations} since the last reset."""
+    return dict(_DISPATCH_LOG)
+
+
+def reset_dispatch_log() -> None:
+    _DISPATCH_LOG.clear()
 
 
 def force_execution(tree) -> float:

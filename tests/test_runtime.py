@@ -214,3 +214,41 @@ def test_calibration_round_trip():
     assert np.mean(errs_s) < 0.35, np.mean(errs_s)
     assert np.max(errs_s) < 0.80, np.max(errs_s)
     assert np.mean(errs_r) < 0.35, np.mean(errs_r)
+
+
+def test_dispatch_log_records_backends():
+    """VERDICT r1 #9: the dispatch guards record which backend each
+    compilation chose, so silent eligibility regressions are visible."""
+    import jax
+
+    from polyblur_tpu.pipeline import polyblur_core
+    from polyblur_tpu.utils.profiling import dispatch_log, reset_dispatch_log
+
+    reset_dispatch_log()
+    # fresh (unseen) shape forces a retrace so the guards actually run
+    x = jnp.zeros((1, 1, 66, 94), jnp.float32) + 0.25
+    polyblur_core(x, n_iter=1, method="fft")
+    polyblur_core(x, n_iter=1, method="direct_separable")
+    log = dispatch_log()
+    assert ("polyblur_core", "scan/fft") in log
+    assert ("polyblur_core", "scan/direct_separable") in log
+    assert ("inverse_filtering_rank3", "generic/fft") in log
+    assert ("inverse_filtering_rank3", "separable_fast") in log
+    # off-TPU the separable op takes the XLA band composition w/ explicit pad
+    assert ("compute_polynomial_separable", "xla_band/prepad") in log
+    reset_dispatch_log()
+    assert dispatch_log() == {}
+
+
+def test_named_scopes_visible_in_lowering():
+    """VERDICT r1 #9: pipeline paths carry jax.named_scope annotations that
+    survive into the lowered module (and hence profiler traces)."""
+    import jax
+
+    from polyblur_tpu.pipeline import polyblur_core
+
+    x = jnp.zeros((1, 1, 62, 88), jnp.float32)
+    lowered = jax.jit(
+        lambda v: polyblur_core(v, n_iter=1, method="fft")).lower(x)
+    txt = lowered.as_text(debug_info=True)
+    assert "polyblur.scan_fft" in txt

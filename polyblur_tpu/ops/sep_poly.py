@@ -145,6 +145,19 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
     the shear slope; 1.5 keeps every kernel in the reference's calibrated
     anisotropy range (rho/sigma in [0.33, 1], calibrate_blur_parameters.py
     :209) exact at any angle, with a minimal canvas.
+
+    Beyond the calibrated range the estimator's independent clamps
+    (sigma, rho in [0.3, 4], blur_estimation.py:179-183) allow ratios down
+    to 0.075, where the true slope |s| reaches ~6.6 near axis-aligned
+    angles and the clamp engages (ADVICE r1). Measured against the exact
+    direct-convolution oracle (interior, peacock content), clamping is
+    *protective* there — smax=1.5 agrees at >= 30 dB while smax=6.7
+    (unclamped) drops to ~24 dB because long sheared bilinear sampling
+    degrades faster than the rounder clamped kernel deviates; inside the
+    calibrated range agreement is 32-42 dB regardless of smax. Pinned by
+    tests/test_kernels.py::test_smax_clamp_extremes_bounded. Widening smax
+    is therefore NOT a fix for extreme anisotropy; route such inputs to
+    method='fft' or 'direct' instead.
     """
     from ..utils.profiling import record_dispatch
 

@@ -385,3 +385,54 @@ def test_mega_kernel_full_features_interpret(peacock):
     inner = np.abs(np.asarray(out - ref))[..., 16:-16, 16:-16]
     assert inner.max() < 5e-3, inner.max()
     assert psnr(np.asarray(out), np.asarray(ref)) > 38.0
+
+
+def test_smax_clamp_extremes_bounded():
+    """ADVICE r1: the estimator's independent clamps admit anisotropy far
+    beyond the calibrated range (ratio down to 0.075, true shear slope
+    ~6.6). Pin the measured behavior: at those extremes the smax=1.5 clamp
+    stays within a bounded interior distance of the exact direct oracle,
+    and is no worse than an unclamped (wide-smax) run — clamping is
+    protective, not lossy (see ops/sep_poly.py docstring)."""
+    import os
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from polyblur_tpu.ops.sep_poly import compute_polynomial_separable
+    from polyblur_tpu.restoration import compute_polynomial_direct
+    from polyblur_tpu.ops.gaussian import batch_gaussian_kernels
+
+    img = np.asarray(Image.open(
+        os.path.join(os.path.dirname(__file__), "data",
+                     "peacock_defocus.png"))).astype(np.float32) / 255.0
+    x = jnp.asarray(img.mean(-1)[100:228, 200:328])[None, None]
+
+    def interior_psnr(a, b):
+        a = np.asarray(a)[..., 24:-24, 24:-24]
+        b = np.asarray(b)[..., 24:-24, 24:-24]
+        mse = float(np.mean((a - b) ** 2))
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    # (sigma, rho, theta_deg, min dB vs exact direct at smax=1.5)
+    cases = [(4.0, 0.3, 4.3, 29.0),   # worst clamp extreme, |s|~6.6
+             (4.0, 0.3, 10.0, 31.0),  # |s|~4.8
+             (3.0, 0.9, 15.0, 29.0),  # just past the clamp, |s|~1.5
+             (3.0, 1.0, 45.0, 32.0)]  # calibrated range, no clamp
+    for sg, rh, thdeg, floor in cases:
+        th = np.radians(thdeg)
+        s_ = jnp.full((1, 1), sg)
+        r_ = jnp.full((1, 1), rh)
+        t_ = jnp.full((1, 1), th)
+        k2d = batch_gaussian_kernels(s_, r_, t_, 25)
+        ref = compute_polynomial_direct(
+            jnp.pad(x, ((0, 0), (0, 0), (12, 12), (12, 12)), mode="edge"),
+            k2d, 6.0, 1.0)[..., 12:-12, 12:-12]
+        clamped = compute_polynomial_separable(x, s_, r_, t_, 6.0, 1.0,
+                                               smax=1.5, prepad=True)
+        got = interior_psnr(clamped, ref)
+        assert got >= floor, (sg, rh, thdeg, got)
+        if abs(-np.sin(-th) * np.cos(-th) * (1 / sg**2 - 1 / rh**2)) > 1.5:
+            wide = compute_polynomial_separable(x, s_, r_, t_, 6.0, 1.0,
+                                                smax=6.7, prepad=True)
+            assert got >= interior_psnr(wide, ref) - 0.5, (sg, rh, thdeg)

@@ -102,7 +102,10 @@ def recursive_filter(img: jnp.ndarray, sigma_s: float = 60.0,
 
     F = img
     for sigma_H_i in _sigma_schedule(sigma_s, num_iterations):
-        a = math.exp(-math.sqrt(2.0) / sigma_H_i)
+        # jnp.exp, not math.exp: sigma_s may be a traced value (it is a
+        # differentiable pipeline parameter when passed explicitly through
+        # the jitted polyblur_core).
+        a = jnp.exp(-math.sqrt(2.0) / jnp.asarray(sigma_H_i, img.dtype))
         V = (a ** dHdx)[:, None]  # (B,1,H,W)
         F = scan_fn(F, jnp.broadcast_to(V, F.shape))
         F = jnp.swapaxes(F, -1, -2)
@@ -112,16 +115,55 @@ def recursive_filter(img: jnp.ndarray, sigma_s: float = 60.0,
     return F
 
 
+def _box_filter_rows_windowed(F: jnp.ndarray, ct: jnp.ndarray,
+                              box_radius: float) -> jnp.ndarray:
+    """Gather-free normalized box filter in the transformed domain.
+
+    The domain transform increments by >= 1 per pixel (dHdx = 1 + ...), so
+    every pixel of the box {j : ct[i]-r < ct[j] <= ct[i]+r} lies within
+    ceil(r) indices of i. The box sum is then a masked sum over a *static*
+    window of shifted reads — shifts, compares and FMAs only, which XLA
+    fuses into one VPU loop nest with zero gathers (vs the searchsorted +
+    SAT-gather formulation, which lowers to serial gathers on TPU).
+    Bit-identical to :func:`_box_filter_rows` (same strict-lower /
+    inclusive-upper bounds as NC.cpp:10-47's `find`).
+
+    Requires a static (Python float) ``box_radius``.
+    """
+    R = int(math.ceil(box_radius))
+    w = F.shape[-1]
+    inf = jnp.asarray(jnp.inf, ct.dtype)
+    ct_pad = jnp.concatenate(
+        [jnp.full(ct.shape[:-1] + (R,), -inf, ct.dtype), ct,
+         jnp.full(ct.shape[:-1] + (R,), inf, ct.dtype)], axis=-1)
+    F_pad = jnp.pad(F, ((0, 0), (0, 0), (0, 0), (R, R)))
+    lo = ct - box_radius
+    hi = ct + box_radius
+    num = jnp.zeros_like(F)
+    den = jnp.zeros(ct.shape, F.dtype)
+    for d in range(-R, R + 1):
+        ctj = ct_pad[..., R + d:R + d + w]
+        m = ((ctj > lo) & (ctj <= hi)).astype(F.dtype)  # (B,H,W)
+        num = num + m[:, None] * F_pad[..., R + d:R + d + w]
+        den = den + m
+    return num / (den[:, None] + 1e-4)
+
+
 def _box_filter_rows(F: jnp.ndarray, ct: jnp.ndarray,
                      box_radius: float) -> jnp.ndarray:
     """Normalized box filter along rows in the transformed domain.
 
     Vectorized rewrite of NC.cpp:50-140: the per-row transformed coordinate
     ``ct`` is nondecreasing, so the box bounds are right-sided
-    ``searchsorted`` lookups and the sum is a SAT difference.
+    ``searchsorted`` lookups and the sum is a SAT difference. Static radii
+    take the gather-free windowed formulation instead (see
+    :func:`_box_filter_rows_windowed`); this generic path remains for
+    traced ``box_radius`` (differentiable-sigma_s callers).
 
     :param F: (B, C, H, W); :param ct: (B, H, W) cumulated transform
     """
+    if isinstance(box_radius, (int, float)):
+        return _box_filter_rows_windowed(F, ct, box_radius)
     b, c, h, w = F.shape
     big = jnp.asarray(2.0**16 - 1.0, ct.dtype)
     ct_inf = jnp.concatenate(

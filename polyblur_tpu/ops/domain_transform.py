@@ -89,9 +89,11 @@ def recursive_filter(img: jnp.ndarray, sigma_s: float = 60.0,
     :return: (B, C, H, W) smoothed image
     """
     if backend == "auto":
-        h, w = img.shape[-2:]
+        w = img.shape[-1]
         on_tpu = jax.default_backend() == "tpu"
-        backend = "pallas" if on_tpu and h * w * 4 * 3 <= 64 * 2**20 else "xla"
+        # The Pallas scan blocks over rows, so only the row width gates it
+        # (one 8-row f32 block of x/v/out + temps must fit VMEM).
+        backend = "pallas" if on_tpu and w <= 32768 else "xla"
     J = img if joint_image is None else joint_image
     dHdx, dVdy_t = _domain_transform_derivatives(J, sigma_s, sigma_r)
 

@@ -106,12 +106,18 @@ def iir_scan_rows_pallas(x: jnp.ndarray, v: jnp.ndarray,
         n *= d
     x3 = x.reshape(n, h, w)
     v3 = jnp.broadcast_to(v, shape).reshape(n, h, w)
+    # Rows are independent, so block over H to keep each program's VMEM
+    # footprint bounded regardless of image size (whole 2MP+ slabs blew the
+    # 16MB scoped-vmem stack limit). ~1MB per buffer (x/v/out + ~6 live
+    # doubling-step temporaries ~= 9MB scoped), f32-sublane aligned.
+    bh = max(8, min(h, (1 * 2**20) // (w * 4)) // 8 * 8)
+    grid_h = -(-h // bh)
     out = pl.pallas_call(
         _iir_kernel,
-        grid=(n,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
-                  pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+        grid=(n, grid_h),
+        in_specs=[pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0)),
+                  pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, w), x.dtype),
         interpret=interpret,
     )(x3, v3)

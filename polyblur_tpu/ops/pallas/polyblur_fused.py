@@ -149,6 +149,21 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
         w_in = wt + 2 * _HALF
         wc = w_in + 2 * margin
 
+        if do_halo:
+            # Input-tile gradients for halo masking are loop-invariant
+            # (pipeline.py computes grad_img once from the original input,
+            # deblurring.py:61) — hoist them out of the iteration loop
+            # instead of paying 2 matmuls per channel per iteration.
+            grads0 = []
+            for ch in range(csz):
+                x0 = x_ref[0, ch].astype(jnp.float32)
+                gx0 = jax.lax.dot_general(
+                    x0, dw, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                gy0 = jax.lax.dot(dh, x0,
+                                  preferred_element_type=jnp.float32)
+                grads0.append((gx0, gy0, jnp.sum(gx0 * gx0 + gy0 * gy0)))
+
         def iteration(_, carry):
             # ---------------- estimation (shared across channels) -------
             gray = ts_ref[0].astype(jnp.float32)
@@ -340,21 +355,14 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
 
                 if do_halo:
                     # gradient-inversion masking (deblurring.py:193-208,
-                    # grad_prod_ bug fixed): input grads from the ORIGINAL
-                    # tile (pipeline.py computes grad_img once)
-                    x0 = x_ref[0, ch].astype(jnp.float32)
-                    gx0 = jax.lax.dot_general(
-                        x0, dw, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    gy0 = jax.lax.dot(dh, x0,
-                                      preferred_element_type=jnp.float32)
+                    # grad_prod_ bug fixed): input grads hoisted above
+                    gx0, gy0, nM = grads0[ch]
                     gox = jax.lax.dot_general(
                         o, dw, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     goy = jax.lax.dot(dh, o,
                                       preferred_element_type=jnp.float32)
                     M = -(gx0 * gox) - (gy0 * goy)
-                    nM = jnp.sum(gx0 * gx0 + gy0 * gy0)
                     z = jnp.clip(M / (nM + M + 1e-12), 0.0, None)
                     u_cmp = xc[_HALF:h - _HALF,
                                margin + _HALF:margin + _HALF + wt]

@@ -47,7 +47,8 @@ def _shard_map(f, mesh, in_specs, out_specs):
 from ..patches import plan_patch_grid, extract_patches, overlap_add
 from ..pipeline import polyblur_core
 
-__all__ = ["make_mesh", "deblur_sharded", "training_step", "data_parallel_deblur"]
+__all__ = ["make_mesh", "deblur_sharded", "training_step",
+           "make_sharded_train_step", "data_parallel_deblur"]
 
 
 def make_mesh(devices=None, data_axis: int = 1) -> Mesh:
@@ -162,3 +163,43 @@ def training_step(params: dict, blurry: jnp.ndarray, sharp: jnp.ndarray,
         return new_p, loss
 
     return step(params, blurry, sharp)
+
+
+def make_sharded_train_step(optimizer, mesh: Mesh, n_iter: int = 2,
+                            method: str = "fft"):
+    """Sharded optax training step factory (the stateful-optimizer analog
+    of :func:`training_step`).
+
+    Parameters and optimizer state (e.g. Adam moments) are replicated over
+    the mesh; the batch is sharded over the 'data' axis; GSPMD inserts the
+    gradient ``psum``. Returns ``step(params, opt_state, blurry, sharp) ->
+    (params, opt_state, loss)``, jitted with explicit in/out shardings so
+    the replication of the optimizer state is compiler-enforced.
+    """
+    import optax
+
+    batch_spec = NamedSharding(mesh, P("data", None, None, None))
+    replicated = NamedSharding(mesh, P())
+
+    @partial(jax.jit,
+             in_shardings=(replicated, replicated, batch_spec, batch_spec),
+             out_shardings=(replicated, replicated, replicated))
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            out = polyblur_core(x, n_iter=n_iter, c=p["c"], b=p["b"],
+                                alpha=p["alpha"], beta=p["beta"],
+                                method=method, remat=True)
+            return jnp.mean((out - y) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def run(params, opt_state, blurry, sharp):
+        return step(jax.device_put(params, replicated),
+                    jax.device_put(opt_state, replicated),
+                    jax.device_put(blurry, batch_spec),
+                    jax.device_put(sharp, batch_spec))
+
+    return run

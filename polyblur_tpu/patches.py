@@ -7,8 +7,12 @@ TPU-native rewrite of the reference's patch decomposition
 Tiles become a leading batch axis (the scale-out axis for ``shard_map`` in
 parallel/sharding.py): the image is padded to a tile grid, all tiles are
 gathered with static offsets, deblurred as one batch, and blended back by a
-Kaiser-windowed overlap-add (scatter-add with static indices, which XLA
-lowers to in-place dynamic-update-slices).
+Kaiser-windowed overlap-add. On the regular grids plan_patch_grid produces,
+both directions use a reshape decomposition (tile starts are multiples of
+the step, so the leading ``step`` columns of the tiles tile the axis
+exactly and the overlap columns are the same decomposition shifted once) —
+no per-tile slice or scatter chains; irregular grids fall back to
+static-index scatter-add.
 """
 
 from __future__ import annotations
@@ -20,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .utils.imaging import build_window
+from .utils.imaging import build_window_np
 
 __all__ = ["PatchGrid", "plan_patch_grid", "extract_patches",
            "overlap_add", "deblur_patches"]
@@ -58,33 +62,128 @@ def plan_patch_grid(h: int, w: int, patch_size: int = 400,
                      (pad_top, pad_bottom, pad_left, pad_right))
 
 
+def _grid_steps(grid: PatchGrid):
+    """(Th, Tw, step_h, step_w) if the tile grid is regular and the overlap
+    is at most 50% per axis (both always true for plan_patch_grid's output
+    at the reference's overlap range), else None."""
+    ph, pw = grid.patch_size
+    H, W = grid.padded_size
+    rows = sorted({i for (i, _) in grid.coords})
+    cols = sorted({j for (_, j) in grid.coords})
+    if len(grid.coords) != len(rows) * len(cols):
+        return None
+    step_h = rows[1] - rows[0] if len(rows) > 1 else ph
+    step_w = cols[1] - cols[0] if len(cols) > 1 else pw
+    if rows != [k * step_h for k in range(len(rows))]:
+        return None
+    if cols != [k * step_w for k in range(len(cols))]:
+        return None
+    if not (ph // 2 <= step_h <= ph and pw // 2 <= step_w <= pw):
+        return None
+    if (len(rows) - 1) * step_h + ph != H or (len(cols) - 1) * step_w + pw != W:
+        return None
+    return len(rows), len(cols), step_h, step_w
+
+
+def _split_axis(x: jnp.ndarray, T: int, s: int, p: int, axis: int):
+    """out[k] = x[..., k*s : k*s+p, ...] along ``axis`` -> new leading tile
+    axis (T, ...). Pure reshapes + one shifted reshape — no gathers and no
+    per-tile slicing (the tile starts are multiples of s, so the left s
+    columns of every tile tile the axis exactly, and the remaining p-s
+    columns are the same decomposition shifted by s)."""
+    o = p - s
+    axis = axis % x.ndim
+    x = jnp.moveaxis(x, axis, -1)
+    lead = x.shape[:-1]
+    lefts = x[..., :T * s].reshape(lead + (T, s))
+    parts = [lefts]
+    if o:
+        y = x[..., s:]
+        pad = T * s - y.shape[-1]
+        if pad > 0:
+            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad)])
+        parts.append(y[..., :T * s].reshape(lead + (T, s))[..., :o])
+    out = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+    out = jnp.moveaxis(out, -2, 0)           # (T, ..., p)
+    return jnp.moveaxis(out, -1, axis + 1)   # p back at the original axis
+
+
+def _join_axis(tiles: jnp.ndarray, s: int, p: int, axis: int) -> jnp.ndarray:
+    """Inverse of :func:`_split_axis` with summation on the overlaps:
+    canvas[..., k*s+i, ...] += tiles[k][..., i, ...]. One reshape per half
+    plus one shifted add — no scatter chain."""
+    o = p - s
+    T = tiles.shape[0]
+    axis = axis % (tiles.ndim - 1)  # axis in the per-tile layout
+    x = jnp.moveaxis(tiles, axis + 1, -1)  # (T, ..., p)
+    x = jnp.moveaxis(x, 0, -2)             # (..., T, p)
+    lead = x.shape[:-2]
+    L = T * s + o
+    lefts = x[..., :s].reshape(lead + (T * s,))
+    canvas = jnp.pad(lefts, [(0, 0)] * (len(lead)) + [(0, o)])
+    if o:
+        rights = jnp.pad(x[..., s:], [(0, 0)] * (len(lead) + 1) + [(0, s - o)])
+        rights = rights.reshape(lead + (T * s,))[..., :L - s]
+        canvas = canvas + jnp.pad(
+            rights, [(0, 0)] * (len(lead)) + [(s, 0)])
+    return jnp.moveaxis(canvas, -1, axis)
+
+
 def extract_patches(images: jnp.ndarray, grid: PatchGrid) -> jnp.ndarray:
-    """(B, C, H, W) -> (T*B, C, ph, pw) tile batch (T = number of tiles)."""
+    """(B, C, H, W) -> (T*B, C, ph, pw) tile batch (T = number of tiles).
+
+    Regular grids (always, for plan_patch_grid output) use the reshape
+    decomposition of :func:`_split_axis` — XLA lowers it to a handful of
+    copies instead of T strided slices."""
     h, w = grid.orig_size
     images = images[..., :h, :w]  # even-crop (deblurring.py:273-279)
     pt, pb, pl, pr = grid.pad
     padded = jnp.pad(images, ((0, 0), (0, 0), (pt, pb), (pl, pr)), mode="edge")
     ph, pw = grid.patch_size
-    tiles = jnp.stack(
-        [padded[..., i0:i0 + ph, j0:j0 + pw] for (i0, j0) in grid.coords]
-    )  # (T, B, C, ph, pw)
+    reg = _grid_steps(grid)
+    if reg is not None:
+        th, tw, sh, sw = reg
+        rows = _split_axis(padded, th, sh, ph, axis=2)   # (Th, B, C, ph, W)
+        tiles = _split_axis(rows, tw, sw, pw, axis=4)    # (Tw, Th, B, C, ph, pw)
+        tiles = jnp.swapaxes(tiles, 0, 1)                # (Th, Tw, ...)
+        tiles = tiles.reshape((-1,) + tiles.shape[2:])   # (T, B, C, ph, pw)
+    else:
+        tiles = jnp.stack(
+            [padded[..., i0:i0 + ph, j0:j0 + pw] for (i0, j0) in grid.coords]
+        )  # (T, B, C, ph, pw)
     return tiles.reshape((-1,) + tiles.shape[2:])
 
 
 def overlap_add(patches: jnp.ndarray, grid: PatchGrid, batch: int,
                 window_type: str = "kaiser") -> jnp.ndarray:
-    """Blend (T*B, C, ph, pw) tiles back into (B, C, h, w)."""
+    """Blend (T*B, C, ph, pw) tiles back into (B, C, h, w).
+
+    Regular grids take the :func:`_join_axis` reshape decomposition (a
+    couple of copies + one shifted add per axis) instead of a T-step
+    scatter-add chain; the window-sum normalizer is a host-computed
+    constant either way."""
     ph, pw = grid.patch_size
     H, W = grid.padded_size
     c = patches.shape[1]
-    window = build_window((ph, pw), window_type).astype(patches.dtype)
+    window_np = build_window_np((ph, pw), window_type)
+    window = jnp.asarray(window_np).astype(patches.dtype)
     tiles = patches.reshape(len(grid.coords), batch, c, ph, pw) * window
 
-    out = jnp.zeros((batch, c, H, W), patches.dtype)
-    wsum = jnp.zeros((1, 1, H, W), patches.dtype)
-    for t, (i0, j0) in enumerate(grid.coords):
-        out = out.at[..., i0:i0 + ph, j0:j0 + pw].add(tiles[t])
-        wsum = wsum.at[..., i0:i0 + ph, j0:j0 + pw].add(window)
+    reg = _grid_steps(grid)
+    if reg is not None:
+        th, tw, sh, sw = reg
+        t6 = jnp.swapaxes(tiles.reshape(th, tw, batch, c, ph, pw), 0, 1)
+        joined = _join_axis(t6, sw, pw, axis=4)   # (Th, B, C, ph, W)
+        out = _join_axis(joined, sh, ph, axis=2)  # (B, C, H, W)
+    else:
+        out = jnp.zeros((batch, c, H, W), patches.dtype)
+        for t, (i0, j0) in enumerate(grid.coords):
+            out = out.at[..., i0:i0 + ph, j0:j0 + pw].add(tiles[t])
+
+    wsum_np = np.zeros((H, W), np.float64)
+    for (i0, j0) in grid.coords:
+        wsum_np[i0:i0 + ph, j0:j0 + pw] += window_np
+    wsum = jnp.asarray(wsum_np[None, None], jnp.float32).astype(patches.dtype)
     out = jnp.clip(out / (wsum + 1e-8), 0.0, 1.0)
     pt, pb, pl, pr = grid.pad
     h, w = grid.orig_size

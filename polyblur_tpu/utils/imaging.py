@@ -127,12 +127,9 @@ def _kaiser_window(n: int, beta: float = 5.0) -> np.ndarray:
     return np.kaiser(n + 1, beta)[:n]
 
 
-def build_window(image_size, window_type: str = "kaiser") -> jnp.ndarray:
-    """Separable 2D blending window for overlap-add tiling.
-
-    Reference: deblurring.py:349-366 (kaiser beta=5 / hann / hamming /
-    bartlett, all periodic).
-    """
+def build_window_np(image_size, window_type: str = "kaiser") -> np.ndarray:
+    """NumPy (host) variant of :func:`build_window` — usable inside traced
+    code where the window must stay a compile-time constant."""
     h, w = image_size
     if window_type == "kaiser":
         wi, wj = _kaiser_window(h), _kaiser_window(w)
@@ -144,4 +141,13 @@ def build_window(image_size, window_type: str = "kaiser") -> jnp.ndarray:
         wi, wj = np.bartlett(h + 1)[:h], np.bartlett(w + 1)[:w]
     else:
         raise ValueError(f"Window {window_type!r} not implemented")
-    return jnp.asarray(wi[:, None] * wj[None, :], dtype=jnp.float32)
+    return (wi[:, None] * wj[None, :]).astype(np.float32)
+
+
+def build_window(image_size, window_type: str = "kaiser") -> jnp.ndarray:
+    """Separable 2D blending window for overlap-add tiling.
+
+    Reference: deblurring.py:349-366 (kaiser beta=5 / hann / hamming /
+    bartlett, all periodic).
+    """
+    return jnp.asarray(build_window_np(image_size, window_type))

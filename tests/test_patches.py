@@ -103,3 +103,52 @@ def test_many_tiles_capped_chunk_scale():
                          batch_size=16)
     assert out.shape == (1, 1, 512, 512)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_reshape_decomposition_matches_bruteforce():
+    """extract_patches/overlap_add use a reshape decomposition on regular
+    grids (no per-tile slice / scatter chains); it must equal the
+    brute-force slicing exactly, and reconstruct the image through the
+    window normalization."""
+    from polyblur_tpu.patches import _grid_steps
+
+    rng = np.random.default_rng(6)
+    for (h, w, ps, ov, b, c) in [(90, 110, 32, 0.25, 2, 3),
+                                 (100, 100, 40, 0.5, 1, 2),
+                                 (70, 70, 32, 0.0, 1, 1),
+                                 (400, 400, 400, 0.25, 1, 1)]:
+        img = jnp.asarray(rng.uniform(size=(b, c, h, w)).astype(np.float32))
+        g = plan_patch_grid(h, w, ps, ov)
+        assert _grid_steps(g) is not None
+        tiles = extract_patches(img, g)
+        hh, ww = g.orig_size
+        imgs = img[..., :hh, :ww]
+        pt, pb, pl, pr = g.pad
+        padded = jnp.pad(imgs, ((0, 0), (0, 0), (pt, pb), (pl, pr)),
+                         mode="edge")
+        ph, pw = g.patch_size
+        ref = jnp.stack([padded[..., i0:i0 + ph, j0:j0 + pw]
+                         for (i0, j0) in g.coords])
+        ref = ref.reshape((-1,) + ref.shape[2:])
+        np.testing.assert_array_equal(np.asarray(tiles), np.asarray(ref))
+        rec = overlap_add(tiles, g, b)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(imgs),
+                                   atol=1e-5, rtol=0)
+
+
+def test_irregular_grid_fallback():
+    """Hand-built irregular coords must take the scatter fallback and still
+    reconstruct (wsum-normalized) wherever tiles cover."""
+    from polyblur_tpu.patches import PatchGrid, _grid_steps
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(size=(1, 1, 64, 64)).astype(np.float32))
+    g = PatchGrid((64, 64), (64, 64), (40, 40),
+                  ((0, 0), (0, 24), (10, 0), (10, 24), (24, 0), (24, 24)),
+                  (0, 0, 0, 0))
+    assert _grid_steps(g) is None  # rows [0, 10, 24] are irregular
+    tiles = extract_patches(img, g)
+    assert tiles.shape == (6, 1, 40, 40)
+    rec = overlap_add(tiles, g, 1)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(img),
+                               atol=1e-5, rtol=0)

@@ -123,11 +123,45 @@ def _bilateral5(x):
 
 
 def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
-                 do_halo: bool = False, prefilter=None):
+                 do_halo: bool = False, prefilter=None, dma_grid=None):
+    """``dma_grid=(B, Tw, step_h, step_w)`` switches the kernel to image
+    input: the tile is DMA'd from the padded canvas in HBM at the grid
+    offsets of this program instead of arriving as a pre-extracted block
+    (the extract_patches tensor never exists)."""
     angles = [k * math.pi / _NA for k in range(_NA + 1)]
 
-    def kernel(co_ref, x_ref, dw_ref, dh_ref, wr_ref, out_ref, ts_ref):
-        _, c, ht, wt = x_ref.shape
+    def kernel(co_ref, x_in_ref, dw_ref, dh_ref, wr_ref, out_ref, ts_ref,
+               *dma_scratch):
+        if dma_grid is not None:
+            bsz, t_w, step_h, step_w = dma_grid
+            xt_ref, sem = dma_scratch
+            _, c, ht, wt = out_ref.shape
+            # Mosaic DMA slices must be layout-aligned: round the copied
+            # window up to (8, 128) tiles (the canvas is padded to cover
+            # the round-up; tile offsets are aligned by the eligibility
+            # guard in pipeline.mega_restore_padded) and slice statically
+            # in VMEM.
+            hs = -(-ht // 8) * 8
+            ws = -(-wt // 128) * 128
+            t = pl.program_id(0)
+            tile = t // bsz
+            b = t % bsz
+            i0 = (tile // t_w) * step_h
+            j0 = (tile % t_w) * step_w
+            cp = pltpu.make_async_copy(
+                x_in_ref.at[b, :, pl.ds(i0, hs), pl.ds(j0, ws)], xt_ref, sem)
+            cp.start()
+            cp.wait()
+            x_ref = None  # tile lives in xt_ref
+
+            def tile_plane(ch):
+                return xt_ref[ch, :ht, :wt]
+        else:
+            x_ref = x_in_ref
+            _, c, ht, wt = x_ref.shape
+
+            def tile_plane(ch):
+                return x_ref[0, ch]
         a3 = co_ref[0]
         a2 = co_ref[1]
         a1 = co_ref[2]
@@ -156,7 +190,7 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
             # instead of paying 2 matmuls per channel per iteration.
             grads0 = []
             for ch in range(csz):
-                x0 = x_ref[0, ch].astype(jnp.float32)
+                x0 = tile_plane(ch).astype(jnp.float32)
                 gx0 = jax.lax.dot_general(
                     x0, dw, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -374,7 +408,10 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
                 ts_ref[ch] = o.astype(dt)
             return carry
 
-        ts_ref[...] = x_ref[0]
+        if dma_grid is not None:
+            ts_ref[...] = xt_ref[:, :ht, :wt]
+        else:
+            ts_ref[...] = x_ref[0]
         jax.lax.fori_loop(0, n_iter, iteration, 0)
         out_ref[0] = ts_ref[...]
 
@@ -409,6 +446,101 @@ def _fused_call(x, coeffs, n_iter, margin, do_taper=False, do_halo=False,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(coeffs.astype(jnp.float32), x, dw, dh, jnp.asarray(w_rows))
+
+
+def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
+                do_halo=False, prefilter=None, interpret=False):
+    """Mega-kernel over tiles cut in-kernel from the padded canvas.
+
+    :param padded: (B, C, Hp, Wp) canvas (already replicate-padded to the
+        tile grid); the extract_patches tile tensor never materializes —
+        each program DMAs its own (C, th, tw) window from HBM.
+    :param grid_info: static (th_tiles, tw_tiles, step_h, step_w, ph, pw)
+    :returns: (T*B, C, ph, pw) restored tile batch (T outer, B inner —
+        the extract_patches layout)
+    """
+    b, c, _, _ = padded.shape
+    t_h, t_w, step_h, step_w, ph, pw = grid_info
+    n = t_h * t_w * b
+    # Mosaic-aligned DMA windows: extend the canvas so the rounded-up
+    # (8, 128)-tile window of the last row/column of tiles stays in bounds.
+    hs = -(-ph // 8) * 8
+    ws = -(-pw // 128) * 128
+    if hs != ph or ws != pw:
+        padded = jnp.pad(padded,
+                         ((0, 0), (0, 0), (0, hs - ph), (0, ws - pw)))
+    dw = jnp.asarray(_derivative_matrix_np(pw))
+    dh = jnp.asarray(_derivative_matrix_np(ph))
+    w_rows = np.zeros((8, 128), np.float32)
+    w_rows[:_NA + 1, :_NI] = _interp_weights_np().T
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((pw, pw), lambda i, *_: (0, 0)),
+            pl.BlockSpec((ph, ph), lambda i, *_: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c, ph, pw), lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((c, ph, pw), padded.dtype),
+                        pltpu.VMEM((c, hs, ws), padded.dtype),
+                        pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        _make_kernel(n_iter, margin, c, do_taper=do_taper, do_halo=do_halo,
+                     prefilter=prefilter,
+                     dma_grid=(b, t_w, step_h, step_w)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, c, ph, pw), padded.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(coeffs.astype(jnp.float32), padded, dw, dh, jnp.asarray(w_rows))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def polyblur_image_fused(padded, coeffs, n_iter, margin, grid_info,
+                         do_taper=False, do_halo=False, prefilter=None,
+                         interpret=False):
+    """Image-input mega kernel (see :func:`_image_call`); differentiable
+    via the composed extract + XLA reference pipeline."""
+    return _image_call(padded, coeffs, n_iter, margin, grid_info,
+                       do_taper=do_taper, do_halo=do_halo,
+                       prefilter=prefilter, interpret=interpret)
+
+
+def _ref_image_pipeline(padded, coeffs, n_iter, grid_info, do_taper,
+                        do_halo, prefilter):
+    t_h, t_w, step_h, step_w, ph, pw = grid_info
+    b = padded.shape[0]
+    tiles = jnp.stack([
+        padded[:, :, i * step_h:i * step_h + ph, j * step_w:j * step_w + pw]
+        for i in range(t_h) for j in range(t_w)])
+    tiles = tiles.reshape((-1,) + tiles.shape[2:])
+    return _ref_pipeline(tiles, coeffs, n_iter, do_taper=do_taper,
+                         do_halo=do_halo, prefilter=prefilter)
+
+
+def _img_fwd(padded, coeffs, n_iter, margin, grid_info, do_taper, do_halo,
+             prefilter, interpret):
+    out = _image_call(padded, coeffs, n_iter, margin, grid_info,
+                      do_taper=do_taper, do_halo=do_halo,
+                      prefilter=prefilter, interpret=interpret)
+    return out, (padded, coeffs)
+
+
+def _img_bwd(n_iter, margin, grid_info, do_taper, do_halo, prefilter,
+             interpret, res, g):
+    padded, coeffs = res
+    _, vjp = jax.vjp(
+        lambda x_, c_: _ref_image_pipeline(x_, c_, n_iter, grid_info,
+                                           do_taper, do_halo, prefilter),
+        padded, coeffs)
+    return vjp(g)
+
+
+polyblur_image_fused.defvjp(_img_fwd, _img_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))

@@ -204,13 +204,30 @@ def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
         ``>= n_tiles``) processes every tile as a single device batch, the
         throughput-optimal setting on TPU.
     """
-    from .pipeline import polyblur_core
+    from .pipeline import polyblur_core, mega_restore_padded
 
     b = images.shape[0]
     h, w = images.shape[-2:]
     grid = plan_patch_grid(h, w, patch_size, overlap)
-    tiles = extract_patches(images, grid)
     n_tiles = len(grid.coords)
+
+    reg = _grid_steps(grid)
+    if reg is not None and (batch_size is None or batch_size <= 0
+                            or batch_size >= n_tiles):
+        # Fully-fused route: the mega kernel DMAs each tile window out of
+        # the padded canvas itself — no extracted tile tensor in HBM.
+        hh, ww = grid.orig_size
+        pt, pb, pl, pr = grid.pad
+        padded = jnp.pad(images[..., :hh, :ww],
+                         ((0, 0), (0, 0), (pt, pb), (pl, pr)), mode="edge")
+        th, tw, sh, sw = reg
+        ph, pw = grid.patch_size
+        restored = mega_restore_padded(padded, (th, tw, sh, sw, ph, pw),
+                                       **polyblur_kwargs)
+        if restored is not None:
+            return overlap_add(restored, grid, b, window_type)
+
+    tiles = extract_patches(images, grid)
     if batch_size is None or batch_size <= 0 or batch_size >= n_tiles:
         restored = polyblur_core(tiles, **polyblur_kwargs)
     else:

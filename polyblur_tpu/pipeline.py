@@ -25,7 +25,81 @@ from .ops.bilateral import bilateral_filter
 from .ops.domain_transform import recursive_filter
 from .ops.fourier import spectral_gradients
 
-__all__ = ["polyblur_core", "edge_aware_filtering"]
+__all__ = ["polyblur_core", "edge_aware_filtering", "mega_restore_padded"]
+
+_MEGA_MAX_TILE = 512
+_MEGA_SMAX = 1.5
+
+
+def _mega_static_ok(method, remat, discard_saturation, multichannel_kernel,
+                    prefiltering, smoother, q, ker_size, n_angles,
+                    n_interpolated_angles, hw_max, disable=False) -> bool:
+    """Static eligibility of the whole-pipeline mega-kernel."""
+    return (method == "direct_separable" and not disable and not remat
+            and not (discard_saturation or multichannel_kernel)
+            and (not prefiltering
+                 or smoother in ("bilateral", "domain_transform"))
+            and q == 0.0 and ker_size == 25 and n_angles == 6
+            and n_interpolated_angles == 30 and hw_max <= _MEGA_MAX_TILE
+            and jax.default_backend() == "tpu")
+
+
+def _mega_pack(c, b, alpha, beta, sigma_s, sigma_r):
+    """(coeffs array, margin) for the mega kernel."""
+    import math as _math
+
+    a3 = alpha / 2.0 - beta + 2.0
+    a2 = 3.0 * beta - alpha - 6.0
+    a1 = 5.0 - 3.0 * beta + alpha / 2.0
+    coeffs = jnp.stack([jnp.asarray(v, jnp.float32)
+                        for v in (a3, a2, a1, beta, c, b, _MEGA_SMAX,
+                                  sigma_s, sigma_r)])
+    return coeffs, int(_math.ceil(12 * _MEGA_SMAX))
+
+
+def mega_restore_padded(padded: jnp.ndarray, grid_info, n_iter: int = 1,
+                        c=0.352, b=0.768, alpha=2.0, beta=3.0, sigma_r=0.8,
+                        sigma_s=2.0, ker_size: int = 25, q: float = 0.0,
+                        n_angles: int = 6, n_interpolated_angles: int = 30,
+                        remove_halo: bool = False, edgetaping: bool = False,
+                        prefiltering: bool = False,
+                        discard_saturation: bool = False,
+                        multichannel_kernel: bool = False,
+                        method: str = "fft", smoother: str = "bilateral",
+                        remat: bool = False, _disable_mega: bool = False):
+    """Image-input mega kernel over a pre-padded tile canvas, or None.
+
+    The patch engine's fully-fused route: each Pallas program DMAs its own
+    tile window straight out of the canvas in HBM — the extracted tile
+    tensor never exists. ``grid_info`` is the static
+    (th, tw, step_h, step_w, ph, pw) plan. Returns the restored (T*B, C,
+    ph, pw) tile batch (extract_patches layout) for overlap-add, or None
+    when the configuration is ineligible (caller falls back to
+    extract + polyblur_core).
+    """
+    th, tw, sh, sw, ph, pw = grid_info
+    if not _mega_static_ok(method, remat, discard_saturation,
+                           multichannel_kernel, prefiltering, smoother, q,
+                           ker_size, n_angles, n_interpolated_angles,
+                           max(ph, pw), disable=_disable_mega):
+        return None
+    # Mosaic DMA alignment: tile offsets must land on (8, 128) layout
+    # tiles of the HBM canvas (the window shape itself is rounded up
+    # inside the kernel call).
+    if sh % 8 != 0 or sw % 128 != 0:
+        return None
+    from .ops.pallas.polyblur_fused import polyblur_image_fused
+    from .utils.profiling import record_dispatch
+
+    record_dispatch("deblur_patches", "mega_image_dma")
+    coeffs, margin = _mega_pack(c, b, alpha, beta, sigma_s, sigma_r)
+    prefilter = None
+    if prefiltering:
+        prefilter = "dt" if smoother == "domain_transform" else "bilateral"
+    with jax.named_scope("polyblur.mega_image_dma"):
+        return polyblur_image_fused(padded, coeffs, n_iter, margin,
+                                    grid_info, do_taper=edgetaping,
+                                    do_halo=remove_halo, prefilter=prefilter)
 
 
 def edge_aware_filtering(img: jnp.ndarray, sigma_s, sigma_r,
@@ -75,14 +149,10 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
     polynomial inverse filter, clip. ``grad_img`` for halo masking is
     computed once from the original input (deblurring.py:61).
     """
-    if (method == "direct_separable" and not _disable_mega and not remat
-            and not (discard_saturation or multichannel_kernel)
-            and (not prefiltering
-                 or smoother in ("bilateral", "domain_transform"))
-            and q == 0.0 and ker_size == 25 and n_angles == 6
-            and n_interpolated_angles == 30
-            and max(img.shape[-2:]) <= 512
-            and jax.default_backend() == "tpu"):
+    if _mega_static_ok(method, remat, discard_saturation,
+                       multichannel_kernel, prefiltering, smoother, q,
+                       ker_size, n_angles, n_interpolated_angles,
+                       max(img.shape[-2:]), disable=_disable_mega):
         # the whole-pipeline mega-kernel: every iteration of estimation +
         # (optional prefilter/edgetaper/halo) + deconvolution in one
         # VMEM-resident program per tile
@@ -90,22 +160,12 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
         from .utils.profiling import record_dispatch
 
         record_dispatch("polyblur_core", "mega_pallas")
-
-        a3 = alpha / 2.0 - beta + 2.0
-        a2 = 3.0 * beta - alpha - 6.0
-        a1 = 5.0 - 3.0 * beta + alpha / 2.0
-        smax = 1.5
-        coeffs = jnp.stack([jnp.asarray(v, jnp.float32)
-                            for v in (a3, a2, a1, beta, c, b, smax,
-                                      sigma_s, sigma_r)])
-        import math as _math
-
+        coeffs, margin = _mega_pack(c, b, alpha, beta, sigma_s, sigma_r)
         prefilter = None
         if prefiltering:
             prefilter = "dt" if smoother == "domain_transform" else "bilateral"
         with jax.named_scope("polyblur.mega_pallas"):
-            return polyblur_tiles_fused(img, coeffs, n_iter,
-                                        int(_math.ceil(12 * smax)),
+            return polyblur_tiles_fused(img, coeffs, n_iter, margin,
                                         do_taper=edgetaping,
                                         do_halo=remove_halo,
                                         prefilter=prefilter)

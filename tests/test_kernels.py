@@ -459,3 +459,66 @@ def test_pallas_bilateral_matches_xla():
         (bilateral_pallas(v, 5, 5.0, 0.1, True) - tgt) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                atol=1e-6, rtol=0)
+
+
+def test_image_fused_dma_matches_tiles_fused():
+    """The image-input mega kernel (in-kernel DMA tile extraction) must be
+    bit-identical to the tiles-input mega kernel on the same grid, for
+    every feature-flag combination (interpret mode)."""
+    from polyblur_tpu.ops.pallas.polyblur_fused import (
+        polyblur_image_fused, polyblur_tiles_fused)
+    from polyblur_tpu.patches import (plan_patch_grid, extract_patches,
+                                      _grid_steps)
+    from polyblur_tpu.pipeline import _mega_pack
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(2, 3, 80, 112)).astype(np.float32))
+    g = plan_patch_grid(80, 112, 48, 0.25)
+    th, tw, sh, sw = _grid_steps(g)
+    ph, pw = g.patch_size
+    pt, pb, pl_, pr = g.pad
+    padded = jnp.pad(img[..., :g.orig_size[0], :g.orig_size[1]],
+                     ((0, 0), (0, 0), (pt, pb), (pl_, pr)), mode="edge")
+    tiles = extract_patches(img, g)
+    coeffs, margin = _mega_pack(0.362, 0.468, 6.0, 1.0, 2.0, 0.4)
+    for flags in [dict(), dict(do_taper=True), dict(do_halo=True),
+                  dict(prefilter="dt"),
+                  dict(do_taper=True, do_halo=True, prefilter="bilateral")]:
+        a = polyblur_tiles_fused(tiles, coeffs, 2, margin, interpret=True,
+                                 **flags)
+        b = polyblur_image_fused(padded, coeffs, 2, margin,
+                                 (th, tw, sh, sw, ph, pw), interpret=True,
+                                 **flags)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), flags
+
+
+def test_image_fused_gradient_via_ref_pipeline():
+    """custom_vjp of the image-input mega kernel: gradients flow to the
+    padded canvas and the traced coefficients, finite and nonzero."""
+    from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_image_fused
+    from polyblur_tpu.pipeline import _mega_pack
+
+    rng = np.random.default_rng(1)
+    padded = jnp.asarray(rng.uniform(size=(1, 1, 64, 64)).astype(np.float32))
+    coeffs, margin = _mega_pack(0.362, 0.468, 6.0, 1.0, 2.0, 0.4)
+
+    def loss(p, co):
+        out = polyblur_image_fused(p, co, 1, margin, (2, 2, 32, 32, 32, 32),
+                                   interpret=True)
+        return jnp.mean(out ** 2)
+
+    gp, gc = jax.grad(loss, argnums=(0, 1))(padded, coeffs)
+    assert np.isfinite(np.asarray(gp)).all()
+    assert np.isfinite(np.asarray(gc)).all()
+    assert float(jnp.linalg.norm(gp)) > 0
+
+
+def test_mega_restore_padded_none_off_tpu():
+    """Off-TPU (CPU test env) the image-fused route must decline so
+    deblur_patches falls back to the composed path."""
+    from polyblur_tpu.pipeline import mega_restore_padded
+
+    padded = jnp.zeros((1, 1, 64, 64), jnp.float32)
+    out = mega_restore_padded(padded, (2, 2, 32, 32, 32, 32), n_iter=1,
+                              method="direct_separable")
+    assert out is None

@@ -49,8 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--do_patch_decomposition", type=str2bool, default=False)
     p.add_argument("--patch_size", type=int, default=400)
     p.add_argument("--patch_overlap", type=float, default=0.25)
-    p.add_argument("--method", type=str, default="fft",
-                   choices=["fft", "direct", "direct_separable"])
+    p.add_argument("--method", type=str, default="auto",
+                   choices=["auto", "fft", "direct", "direct_separable"],
+                   help="auto = direct_separable on TPU, fft elsewhere "
+                        "(the reference's direct-on-CUDA / fft-on-CPU "
+                        "selection, main.py:109-112)")
     p.add_argument("--outdir", type=str, default="results")
     p.add_argument("--show", type=str2bool, default=False,
                    help="display with matplotlib")
@@ -92,10 +95,17 @@ def main(argv=None) -> str:
         patch_decomposition=args.do_patch_decomposition,
         patch_size=args.patch_size, patch_overlap=args.patch_overlap,
         batch_size=20)
+    method = args.method
+    if method == "auto":
+        import jax
+
+        method = ("direct_separable" if jax.default_backend() == "tpu"
+                  else "fft")
+        print(f"method=auto -> {method} ({jax.default_backend()})")
     kw = dict(n_iter=args.N, c=0.362, b=0.468, alpha=args.alpha,
               beta=args.beta, remove_halo=args.do_halo_removal,
               prefiltering=args.do_prefiltering,
-              edgetaping=args.do_edgetaping, method=args.method, q=args.q)
+              edgetaping=args.do_edgetaping, method=method, q=args.q)
 
     print("Warm-up run (compiles the XLA program — may take a while).")
     impred = deblurrer(imblur, **kw)

@@ -27,7 +27,7 @@ from .ops.fourier import spectral_gradients
 
 __all__ = ["polyblur_core", "edge_aware_filtering", "mega_restore_padded"]
 
-_MEGA_MAX_TILE = 512
+_MEGA_MAX_TILE = 640
 _MEGA_SMAX = 1.5
 
 

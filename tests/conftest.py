@@ -2,22 +2,30 @@
 
 Tests run on CPU for speed and determinism; multi-chip sharding tests use
 the virtual device mesh. The env vars must be set before jax initializes.
+
+Set ``POLYBLUR_HW_TESTS=1`` to keep the real backend instead — that
+enables tests/test_hardware.py (TPU numerics/dispatch checks) and skips
+the virtual-mesh sharding tests.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+_HW = os.environ.get("POLYBLUR_HW_TESTS", "") == "1"
+
+if not _HW:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 # The container's sitecustomize imports jax (registering the TPU backend)
 # before conftest runs, so the env var alone is captured too early — update
 # the live config as well.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _HW:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

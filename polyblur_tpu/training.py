@@ -18,7 +18,28 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["make_train_step", "fit_layer"]
+__all__ = ["make_train_step", "fit_layer", "save_params", "load_params"]
+
+
+def save_params(params, path: str) -> None:
+    """Persist a trained scalar-parameter pytree as JSON (the
+    checkpoint/resume analog — the reference's module has an empty
+    state_dict, so the only state worth persisting is the fitted pipeline
+    scalars; structure round-trips exactly through :func:`load_params`)."""
+    import json
+
+    nested = jax.tree.map(float, params)
+    with open(path, "w") as f:
+        json.dump(nested, f, indent=1, sort_keys=True)
+
+
+def load_params(path: str):
+    """Inverse of :func:`save_params`; leaves come back as jnp.float32."""
+    import json
+
+    with open(path) as f:
+        nested = json.load(f)
+    return jax.tree.map(jnp.float32, nested)
 
 
 def _l2(out: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

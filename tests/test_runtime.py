@@ -252,3 +252,26 @@ def test_named_scopes_visible_in_lowering():
         lambda v: polyblur_core(v, n_iter=1, method="fft")).lower(x)
     txt = lowered.as_text(debug_info=True)
     assert "polyblur.scan_fft" in txt
+
+
+def test_params_save_load_roundtrip(tmp_path):
+    """Checkpoint analog: a trained layer's scalar pytree round-trips
+    through JSON, and a reloaded params tree drives layer.apply."""
+    pytest.importorskip("flax")
+    import jax
+
+    from polyblur_tpu.layers import PolyblurLayer
+    from polyblur_tpu.training import save_params, load_params
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(size=(1, 1, 48, 48)).astype(np.float32))
+    layer = PolyblurLayer(n_iter=1, learnable=True)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    path = str(tmp_path / "polyblur_params.json")
+    save_params(params, path)
+    restored = load_params(path)
+    assert jax.tree.structure(restored) == jax.tree.structure(params)
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(params)):
+        assert float(a) == float(b)
+    out = layer.apply(restored, x)
+    assert out.shape == x.shape

@@ -93,13 +93,16 @@ class PolyblurDeblurring:
     """
 
     def __init__(self, patch_decomposition: bool = False, patch_size: int = 400,
-                 patch_overlap: float = 0.25, batch_size: int = 1):
+                 patch_overlap: float = 0.25, batch_size: int = 0):
         self.patch_decomposition = patch_decomposition
         self.patch_size = patch_size
         self.patch_overlap = patch_overlap
         # Memory ceiling: at most batch_size tile coordinates per device
         # batch, like the reference's sequential loop (deblurring.py:310-336).
-        # batch_size <= 0 processes all tiles at once (TPU throughput mode).
+        # batch_size <= 0 processes all tiles as one device batch — the
+        # deliberate TPU-native default (the reference defaults to 1 for GPU
+        # memory, deblurring.py:251; chunking every tile singly would
+        # serialize the device and disqualify the fused image route here).
         self.batch_size = batch_size
 
     def __call__(self, images, n_iter: int = 1, c=0.352, b=0.468, alpha=2.0,

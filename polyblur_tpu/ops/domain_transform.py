@@ -163,9 +163,19 @@ def _box_filter_rows(F: jnp.ndarray, ct: jnp.ndarray,
     traced ``box_radius`` (differentiable-sigma_s callers).
 
     :param F: (B, C, H, W); :param ct: (B, H, W) cumulated transform
+
+    NOTE: through the jitted pipeline (smoother='nc') sigma_s arrives as a
+    tracer, so the pipeline's NC prefilter uses this generic path; the
+    windowed fast path engages for direct normalized_convolution /
+    recursive-smoothing calls with Python-float sigmas. The dispatch log
+    records which ran.
     """
+    from ..utils.profiling import record_dispatch
+
     if isinstance(box_radius, (int, float)):
+        record_dispatch("nc_box_filter", "windowed")
         return _box_filter_rows_windowed(F, ct, box_radius)
+    record_dispatch("nc_box_filter", "searchsorted")
     b, c, h, w = F.shape
     big = jnp.asarray(2.0**16 - 1.0, ct.dtype)
     ct_inf = jnp.concatenate(

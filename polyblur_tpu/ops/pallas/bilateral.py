@@ -51,26 +51,34 @@ def _replicate_pad2d(x, pad: int):
     return jnp.concatenate([left, x, right], axis=1)
 
 
-def _make_kernel(ksize: int, sigma_spatial: float, sigma_color: float):
+def bilateral_block(x, ksize: int = 5, sigma_spatial: float = 5.0,
+                    sigma_color: float = 0.1):
+    """Bilateral filter of one (H, W) f32 VMEM block (ops/bilateral.py
+    semantics: replicate pad, reference spatial grid, 1e-5 guard). Shared
+    by this kernel and the mega kernel's in-kernel prefilter."""
     t = np.arange(-ksize // 2 + 1, ksize // 2 + 1)
     gw = np.exp(-(t[None, :] ** 2 + t[:, None] ** 2)
                 / (2.0 * sigma_spatial * sigma_spatial))
     inv_var2 = 1.0 / (2.0 * sigma_color * sigma_color)
+    h, w = x.shape
+    padded = _replicate_pad2d(x, ksize // 2)
+    num = jnp.zeros_like(x)
+    den = jnp.zeros_like(x)
+    for dy in range(ksize):
+        for dx in range(ksize):
+            shifted = padded[dy:dy + h, dx:dx + w]
+            d = shifted - x
+            f = jnp.exp(-d * d * inv_var2) * jnp.float32(gw[dy, dx])
+            num = num + f * shifted
+            den = den + f
+    return num / (den + 1e-5)
 
+
+def _make_kernel(ksize: int, sigma_spatial: float, sigma_color: float):
     def kernel(x_ref, out_ref):
         x = x_ref[0].astype(jnp.float32)
-        h, w = x.shape
-        padded = _replicate_pad2d(x, ksize // 2)
-        num = jnp.zeros_like(x)
-        den = jnp.zeros_like(x)
-        for dy in range(ksize):
-            for dx in range(ksize):
-                shifted = padded[dy:dy + h, dx:dx + w]
-                d = shifted - x
-                f = jnp.exp(-d * d * inv_var2) * jnp.float32(gw[dy, dx])
-                num = num + f * shifted
-                den = den + f
-        out_ref[0] = (num / (den + 1e-5)).astype(out_ref.dtype)
+        out_ref[0] = bilateral_block(
+            x, ksize, sigma_spatial, sigma_color).astype(out_ref.dtype)
 
     return kernel
 

@@ -96,9 +96,39 @@ def iir_scan_rows_pallas(x: jnp.ndarray, v: jnp.ndarray,
     """Bidirectional IIR along the last axis; semantics identical to
     ops.domain_transform.iir_scan_rows.
 
+    Differentiable: the backward pass replays the XLA associative-scan
+    formulation's VJP (Pallas kernels have no automatic transpose), so
+    gradients flow through the DT smoother on TPU — including the mega
+    kernel's custom backward, which routes through recursive_filter.
+
     :param x: (..., H, W) signal
     :param v: same shape, feedback coefficients in [0, 1)
     """
+    return _iir_pallas(x, v, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _iir_pallas(x, v, interpret=False):
+    return _iir_pallas_call(x, v, interpret)
+
+
+def _iir_fwd(x, v, interpret):
+    return _iir_pallas_call(x, v, interpret), (x, v)
+
+
+def _iir_bwd(interpret, res, g):
+    from ..domain_transform import iir_scan_rows
+
+    x, v = res
+    _, vjp = jax.vjp(iir_scan_rows, x, v)
+    return vjp(g)
+
+
+_iir_pallas.defvjp(_iir_fwd, _iir_bwd)
+
+
+def _iir_pallas_call(x: jnp.ndarray, v: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
     shape = x.shape
     h, w = shape[-2:]
     n = 1

@@ -85,41 +85,8 @@ def _iir_bidi(x, v):
     return z
 
 
-def _replicate_pad2d(x, pad: int):
-    """Replicate-pad a (H, W) block by ``pad`` on every side, in VMEM."""
-    h, w = x.shape
-    top = jnp.broadcast_to(x[:1], (pad, w))
-    bot = jnp.broadcast_to(x[-1:], (pad, w))
-    x = jnp.concatenate([top, x, bot], axis=0)
-    left = jnp.broadcast_to(x[:, :1], (h + 2 * pad, pad))
-    right = jnp.broadcast_to(x[:, -1:], (h + 2 * pad, pad))
-    return jnp.concatenate([left, x, right], axis=1)
-
-
-_BIL_K = 5
-_BIL_SIGMA_SPATIAL = 5.0
-_BIL_SIGMA_COLOR = 0.1
-
-
-def _bilateral5(x):
-    """5x5 bilateral filter of one (H, W) f32 block (ops/bilateral.py
-    semantics: replicate pad, reference spatial grid, 1e-5 guard)."""
-    h, w = x.shape
-    t = np.arange(-_BIL_K // 2 + 1, _BIL_K // 2 + 1)
-    gw = np.exp(-(t[None, :] ** 2 + t[:, None] ** 2)
-                / (2.0 * _BIL_SIGMA_SPATIAL ** 2))
-    inv_var2 = 1.0 / (2.0 * _BIL_SIGMA_COLOR ** 2)
-    padded = _replicate_pad2d(x, _BIL_K // 2)
-    num = jnp.zeros_like(x)
-    den = jnp.zeros_like(x)
-    for dy in range(_BIL_K):
-        for dx in range(_BIL_K):
-            shifted = padded[dy:dy + h, dx:dx + w]
-            d = shifted - x
-            f = jnp.exp(-d * d * inv_var2) * jnp.float32(gw[dy, dx])
-            num = num + f * shifted
-            den = den + f
-    return num / (den + 1e-5)
+# Shared VMEM-block helpers (single source of truth in pallas/bilateral.py).
+from .bilateral import _replicate_pad2d, bilateral_block as _bilateral5
 
 
 def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,

@@ -150,14 +150,22 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
     (sigma, rho in [0.3, 4], blur_estimation.py:179-183) allow ratios down
     to 0.075, where the true slope |s| reaches ~6.6 near axis-aligned
     angles and the clamp engages (ADVICE r1). Measured against the exact
-    direct-convolution oracle (interior, peacock content), clamping is
-    *protective* there — smax=1.5 agrees at >= 30 dB while smax=6.7
-    (unclamped) drops to ~24 dB because long sheared bilinear sampling
-    degrades faster than the rounder clamped kernel deviates; inside the
-    calibrated range agreement is 32-42 dB regardless of smax. Pinned by
-    tests/test_kernels.py::test_smax_clamp_extremes_bounded. Widening smax
-    is therefore NOT a fix for extreme anisotropy; route such inputs to
-    method='fft' or 'direct' instead.
+    direct-convolution oracle (interior PSNR, peacock content):
+
+    * calibrated range (|s| <= ~1.4): 63-85 dB — exact, any smax;
+    * moderately past the clamp (|s| ~ 1.5-1.7): smax=1.5 costs accuracy
+      (35-46 dB, vs 60-81 dB at smax=2.5) — widening helps here, at a
+      ~5% canvas-size cost;
+    * extreme slopes (|s| >= ~4.8): the clamp is protective — smax=1.5
+      agrees at 33-34 dB while an unclamped run degrades to 25-28 dB
+      (long sheared cubic sampling breaks down faster than the rounder
+      clamped kernel deviates).
+
+    The 1.5 default keeps the calibrated range exact with the smallest
+    canvas; pass a larger smax if inputs routinely land in the 1.5-2.5
+    slope band, or route extreme-anisotropy inputs to method='fft' /
+    'direct'. Pinned by tests/test_kernels.py::
+    test_smax_clamp_extremes_bounded.
     """
     from ..utils.profiling import record_dispatch
 

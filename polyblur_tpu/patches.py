@@ -204,7 +204,8 @@ def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
         ``>= n_tiles``) processes every tile as a single device batch, the
         throughput-optimal setting on TPU.
     """
-    from .pipeline import polyblur_core, mega_restore_padded
+    from .pipeline import (polyblur_core, mega_restore_padded,
+                           mega_padded_eligible)
 
     b = images.shape[0]
     h, w = images.shape[-2:]
@@ -214,17 +215,20 @@ def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
     reg = _grid_steps(grid)
     if reg is not None and (batch_size is None or batch_size <= 0
                             or batch_size >= n_tiles):
-        # Fully-fused route: the mega kernel DMAs each tile window out of
-        # the padded canvas itself — no extracted tile tensor in HBM.
-        hh, ww = grid.orig_size
-        pt, pb, pl, pr = grid.pad
-        padded = jnp.pad(images[..., :hh, :ww],
-                         ((0, 0), (0, 0), (pt, pb), (pl, pr)), mode="edge")
         th, tw, sh, sw = reg
         ph, pw = grid.patch_size
-        restored = mega_restore_padded(padded, (th, tw, sh, sw, ph, pw),
-                                       **polyblur_kwargs)
-        if restored is not None:
+        grid_info = (th, tw, sh, sw, ph, pw)
+        if mega_padded_eligible(grid_info, **polyblur_kwargs):
+            # Fully-fused route: the mega kernel DMAs each tile window out
+            # of the padded canvas itself — no extracted tile tensor in HBM
+            # (eligibility checked first so a fallback pays no wasted pad).
+            hh, ww = grid.orig_size
+            pt, pb, pl, pr = grid.pad
+            padded = jnp.pad(images[..., :hh, :ww],
+                             ((0, 0), (0, 0), (pt, pb), (pl, pr)),
+                             mode="edge")
+            restored = mega_restore_padded(padded, grid_info,
+                                           **polyblur_kwargs)
             return overlap_add(restored, grid, b, window_type)
 
     tiles = extract_patches(images, grid)

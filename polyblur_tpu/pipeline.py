@@ -25,7 +25,8 @@ from .ops.bilateral import bilateral_filter
 from .ops.domain_transform import recursive_filter
 from .ops.fourier import spectral_gradients
 
-__all__ = ["polyblur_core", "edge_aware_filtering", "mega_restore_padded"]
+__all__ = ["polyblur_core", "edge_aware_filtering", "mega_restore_padded",
+           "mega_padded_eligible"]
 
 _MEGA_MAX_TILE = 640
 _MEGA_SMAX = 1.5
@@ -57,6 +58,30 @@ def _mega_pack(c, b, alpha, beta, sigma_s, sigma_r):
     return coeffs, int(_math.ceil(12 * _MEGA_SMAX))
 
 
+def mega_padded_eligible(grid_info, ker_size: int = 25, q: float = 0.0,
+                         n_angles: int = 6, n_interpolated_angles: int = 30,
+                         method: str = "fft", smoother: str = "bilateral",
+                         prefiltering: bool = False,
+                         discard_saturation: bool = False,
+                         multichannel_kernel: bool = False,
+                         remat: bool = False, _disable_mega: bool = False,
+                         **_traced_ignored) -> bool:
+    """Static-only eligibility of :func:`mega_restore_padded` — callable
+    BEFORE building the padded canvas (so a fallback pays no wasted pad).
+    Extra (traced) kwargs are accepted and ignored.
+
+    Includes the Mosaic DMA alignment requirement: tile offsets must land
+    on (8, 128) layout tiles of the HBM canvas (the window shape itself is
+    rounded up inside the kernel call).
+    """
+    th, tw, sh, sw, ph, pw = grid_info
+    return (_mega_static_ok(method, remat, discard_saturation,
+                            multichannel_kernel, prefiltering, smoother, q,
+                            ker_size, n_angles, n_interpolated_angles,
+                            max(ph, pw), disable=_disable_mega)
+            and sh % 8 == 0 and sw % 128 == 0)
+
+
 def mega_restore_padded(padded: jnp.ndarray, grid_info, n_iter: int = 1,
                         c=0.352, b=0.768, alpha=2.0, beta=3.0, sigma_r=0.8,
                         sigma_s=2.0, ker_size: int = 25, q: float = 0.0,
@@ -78,15 +103,14 @@ def mega_restore_padded(padded: jnp.ndarray, grid_info, n_iter: int = 1,
     extract + polyblur_core).
     """
     th, tw, sh, sw, ph, pw = grid_info
-    if not _mega_static_ok(method, remat, discard_saturation,
-                           multichannel_kernel, prefiltering, smoother, q,
-                           ker_size, n_angles, n_interpolated_angles,
-                           max(ph, pw), disable=_disable_mega):
-        return None
-    # Mosaic DMA alignment: tile offsets must land on (8, 128) layout
-    # tiles of the HBM canvas (the window shape itself is rounded up
-    # inside the kernel call).
-    if sh % 8 != 0 or sw % 128 != 0:
+    if not mega_padded_eligible(
+            grid_info, method=method, remat=remat,
+            discard_saturation=discard_saturation,
+            multichannel_kernel=multichannel_kernel,
+            prefiltering=prefiltering, smoother=smoother, q=q,
+            ker_size=ker_size, n_angles=n_angles,
+            n_interpolated_angles=n_interpolated_angles,
+            _disable_mega=_disable_mega):
         return None
     from .ops.pallas.polyblur_fused import polyblur_image_fused
     from .utils.profiling import record_dispatch

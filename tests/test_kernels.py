@@ -390,10 +390,10 @@ def test_mega_kernel_full_features_interpret(peacock):
 def test_smax_clamp_extremes_bounded():
     """ADVICE r1: the estimator's independent clamps admit anisotropy far
     beyond the calibrated range (ratio down to 0.075, true shear slope
-    ~6.6). Pin the measured behavior: at those extremes the smax=1.5 clamp
-    stays within a bounded interior distance of the exact direct oracle,
-    and is no worse than an unclamped (wide-smax) run — clamping is
-    protective, not lossy (see ops/sep_poly.py docstring)."""
+    ~6.6). Pin the measured trade-off against the exact direct oracle
+    (see ops/sep_poly.py docstring): exact in the calibrated range,
+    bounded degradation just past the clamp, protective (better than
+    unclamped) at extreme slopes."""
     import os
 
     import jax.numpy as jnp
@@ -415,16 +415,17 @@ def test_smax_clamp_extremes_bounded():
         return 10 * np.log10(1.0 / max(mse, 1e-12))
 
     # (sigma, rho, theta_deg, min dB vs exact direct at smax=1.5)
-    cases = [(4.0, 0.3, 4.3, 29.0),   # worst clamp extreme, |s|~6.6
-             (4.0, 0.3, 10.0, 31.0),  # |s|~4.8
-             (3.0, 0.9, 15.0, 29.0),  # just past the clamp, |s|~1.5
-             (3.0, 1.0, 45.0, 32.0)]  # calibrated range, no clamp
+    cases = [(4.0, 0.3, 4.3, 31.0),   # worst clamp extreme, |s|~6.6
+             (4.0, 0.3, 10.0, 32.0),  # |s|~4.8
+             (3.0, 0.9, 15.0, 32.0),  # just past the clamp, |s|~1.5
+             (3.0, 1.0, 45.0, 70.0)]  # calibrated range: near-exact
     for sg, rh, thdeg, floor in cases:
         th = np.radians(thdeg)
         s_ = jnp.full((1, 1), sg)
         r_ = jnp.full((1, 1), rh)
         t_ = jnp.full((1, 1), th)
-        k2d = batch_gaussian_kernels(s_, r_, t_, 25)
+        k2d = batch_gaussian_kernels(t_, s_, r_, 25)  # (thetas, sigmas, rhos)
+        assert float(jnp.max(k2d)) < 0.5, "oracle kernel must not be a delta"
         ref = compute_polynomial_direct(
             jnp.pad(x, ((0, 0), (0, 0), (12, 12), (12, 12)), mode="edge"),
             k2d, 6.0, 1.0)[..., 12:-12, 12:-12]
@@ -432,10 +433,14 @@ def test_smax_clamp_extremes_bounded():
                                                smax=1.5, prepad=True)
         got = interior_psnr(clamped, ref)
         assert got >= floor, (sg, rh, thdeg, got)
-        if abs(-np.sin(-th) * np.cos(-th) * (1 / sg**2 - 1 / rh**2)) > 1.5:
+        from polyblur_tpu.ops.sep_poly import gaussian_quadratic_coeffs
+
+        qa, qb, _ = gaussian_quadratic_coeffs(sg, rh, th)
+        if abs(float(-qb / qa)) > 4.0:
+            # extreme slopes: clamping beats the unclamped long shear
             wide = compute_polynomial_separable(x, s_, r_, t_, 6.0, 1.0,
                                                 smax=6.7, prepad=True)
-            assert got >= interior_psnr(wide, ref) - 0.5, (sg, rh, thdeg)
+            assert got >= interior_psnr(wide, ref) + 3.0, (sg, rh, thdeg)
 
 
 def test_pallas_bilateral_matches_xla():
@@ -522,3 +527,30 @@ def test_mega_restore_padded_none_off_tpu():
     out = mega_restore_padded(padded, (2, 2, 32, 32, 32, 32), n_iter=1,
                               method="direct_separable")
     assert out is None
+
+
+def test_pallas_iir_gradient_matches_xla():
+    """Code-review r2: the Pallas IIR must be differentiable (the mega
+    kernel's backward routes through recursive_filter on TPU); its VJP
+    replays the XLA scan and must match XLA gradients."""
+    from polyblur_tpu.ops.domain_transform import iir_scan_rows
+    from polyblur_tpu.ops.pallas.iir import iir_scan_rows_pallas
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.uniform(size=(1, 2, 8, 32)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0.1, 0.9, size=(1, 2, 8, 32))
+                    .astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(size=x.shape).astype(np.float32))
+
+    def loss_p(x_, v_):
+        return jnp.mean((iir_scan_rows_pallas(x_, v_, interpret=True)
+                         - tgt) ** 2)
+
+    def loss_x(x_, v_):
+        return jnp.mean((iir_scan_rows(x_, v_) - tgt) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(x, v)
+    gx = jax.grad(loss_x, argnums=(0, 1))(x, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=0)

@@ -229,7 +229,8 @@ def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
                              mode="edge")
             restored = mega_restore_padded(padded, grid_info,
                                            **polyblur_kwargs)
-            return overlap_add(restored, grid, b, window_type)
+            if restored is not None:  # predicate drift safety
+                return overlap_add(restored, grid, b, window_type)
 
     tiles = extract_patches(images, grid)
     if batch_size is None or batch_size <= 0 or batch_size >= n_tiles:

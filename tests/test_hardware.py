@@ -93,3 +93,35 @@ def test_pallas_iir_matches_xla_on_tpu():
         rng.uniform(0.1, 0.9, size=(1, 3, 600, 800)).astype(np.float32))
     np.testing.assert_allclose(np.asarray(iir_scan_rows_pallas(x, v)),
                                np.asarray(iir_scan_rows(x, v)), atol=1e-5)
+
+
+def test_windowed_nc_matches_generic_on_tpu():
+    """The gather-free windowed NC formulation (static radius) must match
+    the generic searchsorted path on real-Mosaic numerics."""
+    import math
+
+    from polyblur_tpu.ops.domain_transform import (
+        _box_filter_rows, _box_filter_rows_windowed)
+
+    rng = np.random.default_rng(1)
+    F = jnp.asarray(rng.uniform(size=(1, 3, 300, 400)).astype(np.float32))
+    steps = 1.0 + 4.0 * rng.uniform(size=(1, 300, 400)).astype(np.float32)
+    ct = jnp.cumsum(jnp.asarray(steps), axis=-1)
+    for r in (1.7, 5.2):
+        a = _box_filter_rows_windowed(F, ct, r)
+        b = _box_filter_rows(F, ct, jnp.float32(r))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=0)
+
+
+def test_recursive_filter_pallas_matches_xla_on_tpu():
+    """The blocked Pallas IIR backend must match the XLA associative scan
+    through the full recursive_filter at a realistic size."""
+    from polyblur_tpu.ops.domain_transform import recursive_filter
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(size=(1, 3, 500, 700)).astype(np.float32))
+    a = recursive_filter(x, sigma_s=2.0, sigma_r=0.4, backend="pallas")
+    b = recursive_filter(x, sigma_s=2.0, sigma_r=0.4, backend="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=5e-5, rtol=0)

@@ -147,11 +147,15 @@ def _mags_fast(img: jnp.ndarray, n_angles: int) -> jnp.ndarray:
     # the fused kernel holds the (W, W)/(H, H) derivative operators and
     # the gradient fields in VMEM — only viable at tile scale; whole
     # images take the XLA chain (whose matmul/fft backend auto-switches)
+    from .utils.profiling import record_dispatch
+
     if jax.default_backend() == "tpu" and max(img.shape[-2:]) <= 512:
         from .ops.pallas.est_fused import directional_maxima_pallas
 
+        record_dispatch("directional_maxima", "pallas_fused")
         return directional_maxima_pallas(img, n_angles=n_angles).astype(
             img.dtype)
+    record_dispatch("directional_maxima", "xla")
     return _mags_xla(img, n_angles)
 
 

@@ -253,3 +253,52 @@ def test_dt_smoother_accepts_traced_sigma():
                             sigma_s=2.0, sigma_r=0.4)
         assert out.shape == x.shape
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_isotropic_kernel_rotation_invariant():
+    """SURVEY §4 property: sigma == rho makes the kernel isotropic, so the
+    restoration must be invariant to theta, on every backend."""
+    from polyblur_tpu.ops.gaussian import batch_gaussian_kernels
+    from polyblur_tpu.ops.sep_poly import compute_polynomial_separable
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(size=(1, 1, 48, 48)).astype(np.float32))
+    outs = {}
+    for th in (0.0, 0.7, 1.4):
+        k = batch_gaussian_kernels(jnp.asarray([[th]]), jnp.asarray([[1.7]]),
+                                   jnp.asarray([[1.7]]), 25)
+        outs[th] = restoration.inverse_filtering_rank3(
+            img, k, alpha=6.0, beta=1.0, method="fft")
+    np.testing.assert_allclose(np.asarray(outs[0.7]), np.asarray(outs[0.0]),
+                               atol=1e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(outs[1.4]), np.asarray(outs[0.0]),
+                               atol=1e-5, rtol=0)
+
+    sep = {}
+    for th in (0.0, 0.7):
+        sep[th] = compute_polynomial_separable(
+            img, jnp.asarray([[1.7]]), jnp.asarray([[1.7]]),
+            jnp.asarray([[th]]), 6.0, 1.0, prepad=True)
+    np.testing.assert_allclose(np.asarray(sep[0.7]), np.asarray(sep[0.0]),
+                               atol=1e-5, rtol=0)
+
+
+def test_fft_vs_direct_methods_agree():
+    """SURVEY §4 property: the two independent polynomial backends (fft
+    circular model vs direct grouped conv on a replicate-padded canvas)
+    must agree in the interior for the same 2D kernel."""
+    from polyblur_tpu.ops.gaussian import batch_gaussian_kernels
+    from polyblur_tpu.utils.imaging import pad_with_kernel
+
+    rng = np.random.default_rng(6)
+    from scipy import ndimage
+
+    base = ndimage.gaussian_filter(rng.uniform(size=(96, 96)), 1.5)
+    img = jnp.asarray(base, jnp.float32)[None, None]
+    k = batch_gaussian_kernels(jnp.asarray([[0.5]]), jnp.asarray([[2.0]]),
+                               jnp.asarray([[0.9]]), 25)
+    padded = pad_with_kernel(img, ksize=25)
+    a = restoration.compute_polynomial(padded, k, 6.0, 1.0, method="fft")
+    b = restoration.compute_polynomial(padded, k, 6.0, 1.0, method="direct")
+    d = np.abs(np.asarray(a - b))[..., 24:-24, 24:-24]
+    assert d.max() < 1e-3, d.max()

@@ -25,9 +25,80 @@ from .utils.imaging import to_tensor, to_array
 
 __all__ = ["polyblur_deblurring", "PolyblurDeblurring"]
 
+#: Above this edge length, ``method='auto'`` engages the overlapping-patch
+#: engine on TPU (whole images past the mega-kernel envelope would
+#: otherwise run the slower blocked route, and per-tile estimation is the
+#: reference's own large-image mode, deblurring.py:269-340).
+_AUTO_TILE_EDGE = 700
+
+
+def _resolve_auto(method: str) -> str:
+    """``'auto'`` -> the TPU fast path on TPU, fft elsewhere (the
+    reference's direct-on-CUDA / fft-on-CPU selection, main.py:109-112)."""
+    if method != "auto":
+        return method
+    import jax
+
+    return "direct_separable" if jax.default_backend() == "tpu" else "fft"
+
 
 def _run(img: jnp.ndarray, cfg: PolyblurConfig) -> jnp.ndarray:
     return polyblur_core(img, **cfg.traced_kwargs(), **cfg.static_kwargs())
+
+
+def _run_verbose(img: jnp.ndarray, cfg: PolyblurConfig) -> jnp.ndarray:
+    """Per-stage timed execution mirroring the reference's ``verbose``
+    prints (deblurring.py:59-90). The loop runs stage-by-stage in Python
+    (identical math to the fused scan — same estimation and deconvolution
+    calls) with a forced device sync after each stage so the deltas are
+    real device times, not dispatch times.
+    """
+    from time import time as _time
+
+    from . import restoration
+    from .estimation import gaussian_blur_estimation
+    from .ops.fourier import spectral_gradients
+    from .pipeline import edge_aware_filtering
+    from .utils.profiling import force_execution
+
+    start = _time()
+    impred = img
+    grad_img = spectral_gradients(img) if cfg.remove_halo else None
+    if grad_img is not None:
+        force_execution(grad_img[0])
+    print("-- init tensors:      %1.5f" % (_time() - start))
+
+    return_2d_filters = cfg.method != "direct_separable"
+    for n in range(cfg.n_iter):
+        start = _time()
+        kernel = gaussian_blur_estimation(
+            impred, c=cfg.c, b=cfg.b, q=cfg.q, n_angles=cfg.n_angles,
+            n_interpolated_angles=cfg.n_interpolated_angles,
+            ker_size=cfg.ker_size,
+            discard_saturation=cfg.discard_saturation,
+            multichannel=cfg.multichannel_kernel,
+            return_2d_filters=return_2d_filters)
+        force_execution(kernel[0] if isinstance(kernel, tuple) else kernel)
+        print("-- blur estimation %d: %1.5f" % (n + 1, _time() - start))
+
+        start = _time()
+        if cfg.prefiltering:
+            smooth, noise = edge_aware_filtering(
+                impred, cfg.sigma_s, cfg.sigma_r, smoother=cfg.smoother)
+            impred = restoration.inverse_filtering_rank3(
+                smooth, kernel, alpha=cfg.alpha, beta=cfg.beta,
+                remove_halo=cfg.remove_halo, do_edgetaper=cfg.edgetaping,
+                grad_img=grad_img, method=cfg.method, ker_size=cfg.ker_size)
+            impred = impred + noise
+        else:
+            impred = restoration.inverse_filtering_rank3(
+                impred, kernel, alpha=cfg.alpha, beta=cfg.beta,
+                remove_halo=cfg.remove_halo, do_edgetaper=cfg.edgetaping,
+                grad_img=grad_img, method=cfg.method, ker_size=cfg.ker_size)
+        impred = jnp.clip(impred, 0.0, 1.0)
+        force_execution(impred)
+        print("-- deblurring %d:      %1.5f" % (n + 1, _time() - start))
+    return impred
 
 
 def _adapt_in(img):
@@ -48,32 +119,64 @@ def polyblur_deblurring(img, n_iter: int = 1, c=0.352, b=0.768, alpha=2.0,
                         remove_halo: bool = False, edgetaping: bool = False,
                         prefiltering: bool = False,
                         discard_saturation: bool = False,
-                        multichannel_kernel: bool = False, method: str = "fft",
+                        multichannel_kernel: bool = False,
+                        method: str = "auto",
                         verbose: bool = False):
     """Blind deblurring of mildly blurred image(s) — functional Polyblur.
 
-    Same 17-kwarg surface and defaults as the reference functional API
-    (deblurring.py:23-96). ``img`` is a numpy ``(H, W)``/``(H, W, C)`` image
-    or a ``(B, C, H, W)`` array in [0, 1]; the return type matches the input.
+    Same 17-kwarg surface as the reference functional API
+    (deblurring.py:23-96), same defaults except ``method``: the default is
+    ``'auto'``, which resolves to the TPU fast path on TPU and to the
+    reference's own ``'fft'`` default elsewhere (matching the reference's
+    direct-on-CUDA / fft-on-CPU demo selection, main.py:109-112). Pass
+    ``method='fft'`` explicitly for reference-exact semantics on any
+    backend. ``img`` is a numpy ``(H, W)``/``(H, W, C)`` image or a
+    ``(B, C, H, W)`` array in [0, 1]; the return type matches the input.
 
-    ``verbose`` wall-clocks the whole (fused) call; per-stage wall-times
-    are meaningless inside one XLA program — use ``jax.profiler`` traces
-    (utils/profiling.py) for per-op timing.
+    On TPU, ``method='auto'`` additionally engages the overlapping-patch
+    engine (400px tiles, 25% overlap — the reference's large-image mode,
+    deblurring.py:269-340) for images larger than ~700px. NOTE the
+    semantics change that comes with it, exactly as in the reference's
+    patch mode: the blur is then estimated per tile, which doubles as
+    spatially-varying-blur handling. Explicit ``method=`` values always
+    run whole-image.
+
+    ``verbose`` prints the reference's per-stage timing lines
+    (deblurring.py:59-90) with forced device syncs between stages; the
+    stage-split run is mathematically identical to the fused one.
     """
+    x, was_numpy = _adapt_in(img)
+    resolved = _resolve_auto(method)
     cfg = FUNCTIONAL_DEFAULTS.replace(
         n_iter=n_iter, c=c, b=b, alpha=alpha, beta=beta, sigma_r=sigma_r,
         sigma_s=sigma_s, ker_size=ker_size, q=q, n_angles=n_angles,
         n_interpolated_angles=n_interpolated_angles, remove_halo=remove_halo,
         edgetaping=edgetaping, prefiltering=prefiltering,
         discard_saturation=discard_saturation,
-        multichannel_kernel=multichannel_kernel, method=method)
-    x, was_numpy = _adapt_in(img)
-    if verbose:
-        from .utils.profiling import stage_timer, force_execution
+        multichannel_kernel=multichannel_kernel, method=resolved)
+    import jax
 
-        with stage_timer("polyblur_deblurring (incl. any compile)"):
-            out = _run(x, cfg)
-            force_execution(out)
+    auto_tile = (method == "auto" and jax.default_backend() == "tpu"
+                 and max(x.shape[-2:]) > _AUTO_TILE_EDGE)
+    if auto_tile:
+        from .utils.profiling import record_dispatch
+
+        record_dispatch("polyblur_deblurring", "auto_tiled")
+        if verbose:
+            from .utils.profiling import stage_timer, force_execution
+
+            with stage_timer("polyblur_deblurring (auto-tiled, incl. any "
+                             "compile)"):
+                out = deblur_patches(x, patch_size=400, overlap=0.25,
+                                     batch_size=0, **cfg.traced_kwargs(),
+                                     **cfg.static_kwargs())
+                force_execution(out)
+        else:
+            out = deblur_patches(x, patch_size=400, overlap=0.25,
+                                 batch_size=0, **cfg.traced_kwargs(),
+                                 **cfg.static_kwargs())
+    elif verbose:
+        out = _run_verbose(x, cfg)
     else:
         out = _run(x, cfg)
     return to_array(out) if was_numpy else out
@@ -111,9 +214,10 @@ class PolyblurDeblurring:
                  n_interpolated_angles: int = 30, remove_halo: bool = False,
                  edgetaping: bool = False, prefiltering: bool = False,
                  discard_saturation: bool = False,
-                 multichannel_kernel: bool = False, method: str = "fft",
+                 multichannel_kernel: bool = False, method: str = "auto",
                  device: Optional[object] = None):
         del device
+        method = _resolve_auto(method)
         cfg = MODULE_DEFAULTS.replace(
             n_iter=n_iter, c=c, b=b, alpha=alpha, beta=beta, sigma_r=sigma_r,
             sigma_s=sigma_s, ker_size=ker_size, q=q, n_angles=n_angles,

@@ -89,11 +89,13 @@ def recursive_filter(img: jnp.ndarray, sigma_s: float = 60.0,
     :return: (B, C, H, W) smoothed image
     """
     if backend == "auto":
-        w = img.shape[-1]
+        # The Pallas scan blocks over rows, but the vertical pass runs the
+        # same row kernel on the swapaxed image, so BOTH spatial extents
+        # must respect the per-block VMEM budget (ADVICE r2: gating only
+        # the width let a >32K-tall image through).
+        edge = max(img.shape[-2:])
         on_tpu = jax.default_backend() == "tpu"
-        # The Pallas scan blocks over rows, so only the row width gates it
-        # (one 8-row f32 block of x/v/out + temps must fit VMEM).
-        backend = "pallas" if on_tpu and w <= 32768 else "xla"
+        backend = "pallas" if on_tpu and edge <= 32768 else "xla"
     J = img if joint_image is None else joint_image
     dHdx, dVdy_t = _domain_transform_derivatives(J, sigma_s, sigma_r)
 
@@ -127,8 +129,11 @@ def _box_filter_rows_windowed(F: jnp.ndarray, ct: jnp.ndarray,
     window of shifted reads — shifts, compares and FMAs only, which XLA
     fuses into one VPU loop nest with zero gathers (vs the searchsorted +
     SAT-gather formulation, which lowers to serial gathers on TPU).
-    Bit-identical to :func:`_box_filter_rows` (same strict-lower /
-    inclusive-upper bounds as NC.cpp:10-47's `find`).
+    Selects the same pixel set as :func:`_box_filter_rows` (same
+    strict-lower / inclusive-upper bounds as NC.cpp:10-47's `find`); the
+    accumulation order differs (masked FMA vs SAT cumsum-difference), so
+    results agree to float rounding, not bitwise — the backend-agreement
+    test gates at ~1e-5.
 
     Requires a static (Python float) ``box_radius``.
     """

@@ -1,14 +1,19 @@
-"""Pallas TPU kernel for the circular row shear (ops/shear.py).
+"""Pallas TPU kernels for the circular row shear and the exact Gaussian
+fold (ops/shear.py).
 
-Per-row circular lane shift by d_y = s * (y - yc), bilinear in the
-fraction. The per-row variable shift is decomposed into log2(W) *static*
-circular rolls gated by per-row bit masks — fully vectorized VPU work on a
-VMEM-resident block, no scalar loops and no gathers:
+Per-row circular lane shift by d_y = s * (y - yc). The per-row variable
+shift is decomposed into log2(W) *static* circular rolls gated by per-row
+bit masks — fully vectorized VPU work on a VMEM-resident block, no scalar
+loops and no gathers:
 
     q_y = floor(d_y) mod Wc                   # in [0, Wc)
     z   = x
     for bit b: z = where(bit_b(q_y), roll(z, -2^b), z)
-    out = (1 - a_y) * z + a_y * roll(z, -1)   # fractional blend
+    out = interp tail over static rolls       # fractional part
+
+The fractional tail is a Lanczos-3 blend (6 static rolls). (The exact
+conv+shear fold is spectral — see sep_poly_fused._spec_fold — so it has
+no roll kernel here.)
 
 This is the TPU-native replacement for the per-pixel bilinear sampling
 loop of the reference's oriented-convolution C++ kernel
@@ -24,9 +29,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..shear import keys_weights
+from ..shear import lanczos3_weights
 
 __all__ = ["shear_rows_pallas"]
+
+
+def _lroll(v, k, wc):
+    """Circular left-roll by static k: out[x] = v[(x + k) mod wc].
+
+    Static slice + concat lowers to plain vector moves — measured ~1.5x
+    faster than pltpu.roll AND ~100x faster to Mosaic-compile (the
+    rotate primitive lowers to dynamic-rotate machinery even for
+    static shifts).
+    """
+    k = k % wc
+    if k == 0:
+        return v
+    return jnp.concatenate([v[:, k:], v[:, :k]], axis=1)
 
 
 def _shear_kernel(s_ref, x_ref, out_ref, *, frac: bool, n_bits: int):
@@ -39,19 +58,6 @@ def _shear_kernel(s_ref, x_ref, out_ref, *, frac: bool, n_bits: int):
     a = d - k                                # (H,1) f32 fraction in [0,1)
     q = jnp.mod(k.astype(jnp.int32), wc)     # (H,1) in [0, Wc)
 
-    def lroll(v, k):
-        """Circular left-roll by static k: out[x] = v[(x + k) mod wc].
-
-        Static slice + concat lowers to plain vector moves — measured ~1.5x
-        faster than pltpu.roll AND ~100x faster to Mosaic-compile (the
-        rotate primitive lowers to dynamic-rotate machinery even for
-        static shifts).
-        """
-        k = k % wc
-        if k == 0:
-            return v
-        return jnp.concatenate([v[:, k:], v[:, :k]], axis=1)
-
     # Mosaic's f32 vector path; bf16 inputs are upcast on load.
     z = x_ref[0].astype(jnp.float32)
     for b in range(n_bits):
@@ -59,17 +65,16 @@ def _shear_kernel(s_ref, x_ref, out_ref, *, frac: bool, n_bits: int):
         if step >= wc:
             break
         bit = jnp.equal(jnp.bitwise_and(q, step), step)  # (H,1) bool
-        z = jnp.where(bit, lroll(z, step), z)
+        z = jnp.where(bit, _lroll(z, step, wc), z)
     if frac:
-        # Keys-cubic tail, sequential accumulation: 4 taps measured ~3.5x
-        # faster than 6-tap Lanczos on v5e (register pressure), and the
-        # sequential form compiles ~300x faster in Mosaic than the
-        # sum-of-products form.
-        wm1, w0, w1, w2 = keys_weights(a)
-        acc = w0 * z
-        acc = acc + wm1 * lroll(z, -1)
-        acc = acc + w1 * lroll(z, 1)
-        acc = acc + w2 * lroll(z, 2)
+        # Lanczos-3 tail, sequential accumulation (the sequential form
+        # compiles ~300x faster in Mosaic than sum-of-products).
+        ws = lanczos3_weights(a)
+        acc = ws[2] * z
+        for wj, off in zip(ws, range(-2, 4)):
+            if off == 0:
+                continue
+            acc = acc + wj * _lroll(z, off, wc)
         z = acc
     out_ref[0] = z.astype(out_ref.dtype)
 
@@ -78,10 +83,10 @@ def _shear_kernel(s_ref, x_ref, out_ref, *, frac: bool, n_bits: int):
 def shear_rows_pallas(x: jnp.ndarray, s: jnp.ndarray,
                       frac: bool = True,
                       interpret: bool = False) -> jnp.ndarray:
-    """(N, H, Wc) circular bilinear row shear, one grid program per image.
+    """(N, H, Wc) circular Lanczos-3 row shear, one grid program per image.
 
     Semantics match ops.shear._shear_rows_jnp exactly:
-    out[n, y, v] = x[n, y, (v + d_y) mod Wc] with bilinear d interpolation.
+    out[n, y, v] = x[n, y, (v + d_y) mod Wc].
     """
     n, h, wc = x.shape
     n_bits = max(1, (wc - 1).bit_length())

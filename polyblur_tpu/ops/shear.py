@@ -3,29 +3,42 @@
 An anisotropic Gaussian kernel exp(-0.5 q(x, y)) with quadratic form
 q = a x^2 + 2 b x y + c y^2 factors as
 
-    q = a (x + (b/a) y)^2 + (c - b^2/a) y^2
+    q = a (x + (b/a) y)^2 + (c - b^2/a) y^2          (row shear), or
+    q = c (y + (b/c) x)^2 + (a - b^2/c) x^2          (column shear)
 
-so convolution with it is ``unshear . conv_y(sigma_y') . conv_x(sigma_x)
-. shear`` with shear slope s = b/a — the same x-then-sheared-axis
-decomposition as the reference's native oriented-convolution kernel
+so convolution with it is ``unshear . conv_y . conv_x . shear`` along either
+axis — the same x-then-sheared-axis decomposition as the reference's native
+oriented-convolution kernel
 (/root/reference/polyblur/separable_convolution/separable_gaussian2d.cpp:91-183),
 but with the per-pixel bilinear sampling loop replaced by a whole-image
-shear transform so the two 1D convolutions become band-matrix matmuls on
-the MXU (ops/sep_poly.py).
+shear transform so the two 1D convolutions become batched band convolutions
+(ops/sep_poly.py). Because ``a c >= b^2`` (positive definite form), the
+orientation with the larger quadratic coefficient always has shear slope
+``|s| = |b| / max(a, c) <= 1`` — ops/sep_poly.py picks it per sample, which
+is what keeps every shear here short.
 
-The shear shifts row y by d_y = s * (y - yc) lanes — up to s*H/2, far more
-than the conv support. The key trick making the canvas small: the shift is
-**circular** (mod canvas width). Row-to-row shift differs by exactly s, so
-a vertical conv at canvas column x_s mixes rows whose content comes from
-original columns (x_s - d_y) - s*i — precisely the sheared line — modulo
-the canvas. No aliasing as long as the canvas exceeds image + conv apron
-+ ceil(12*|s|), so ``Wc = W + 2*(half + ceil(half*smax))`` suffices
-regardless of H.
+The shift is **circular** (mod canvas width): row y shifts by
+d_y = s * (y - yc) lanes — up to s*H/2, far more than the conv support, but
+row-to-row shift differs by exactly s, so vertical convs in the sheared
+frame mix rows whose content comes from the sheared line modulo the canvas.
+No aliasing as long as the canvas margin exceeds the *composite* operator's
+x-reach — for the degree-3 polynomial chain that is three kernel
+applications, hence margin ~ half * (1 + 3|s|) (see
+ops.sep_poly.safe_margin; the round-2 margin of half*(1+|s|) under-counted
+the chain and aliased at |s| > ~0.6).
 
-Bilinear in the fractional shift; linear in the image, differentiable in
-both the image and the slope (custom VJP: the adjoint of a circular
-bilinear shear by s is the shear by -s; the slope gradient uses
-d out / d shift = one-lane-rolled difference).
+Two interpolators:
+
+* :func:`shear_rows` — Lanczos-3 in the fractional shift (the windowed
+  sinc is even, so the adjoint of the circular shear by s stays the shear
+  by -s; custom VJP provided). Used where raw content is sheared.
+* :func:`gauss_fold_shear_rows` — the EXACT fold of ``conv_x(coef) . shear``:
+  sampling a Gaussian-smoothed row at a fractional offset equals convolving
+  with the fractionally-shifted Gaussian sampled at integers, so the
+  fractional part of the shift folds into the taps analytically and the
+  transform has zero interpolation error. Used for the boundary transform
+  that carries a Gaussian conv (ops/sep_poly.py applies it on the output
+  side of the polynomial chain).
 """
 
 from __future__ import annotations
@@ -35,16 +48,16 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["shear_rows", "shear_canvas_width"]
+__all__ = ["shear_rows", "gauss_fold_shear_rows", "shear_canvas_width",
+           "keys_weights", "lanczos3_weights"]
 
 
 def shear_canvas_width(w: int, half: int, smax: float) -> int:
-    """Canvas width for safe circular shearing: image + conv apron +
-    sheared-sampling apron, rounded up to a multiple of 8 lanes."""
-    import math
+    """Canvas width for safe circular shearing of the degree-3 polynomial
+    chain: image + composite conv/shear apron, rounded up to 8 lanes."""
+    from .sep_poly import safe_margin
 
-    wc = w + 2 * (half + int(math.ceil(half * smax)))
-    return int((wc + 7) // 8 * 8)
+    return int((w + 2 * safe_margin(half, smax) + 7) // 8 * 8)
 
 
 def keys_weights(f):
@@ -61,8 +74,9 @@ def keys_weights(f):
 def lanczos3_weights(f):
     """Normalized Lanczos-3 weights at taps (-2..3) for fractional offset
     f in [0, 1). The windowed-sinc kernel is even, so the adjoint of the
-    circular shear stays the shear by -s. ~2x lower interpolation error
-    than Keys cubic on Gaussian-smoothed content."""
+    circular shear stays the shear by -s. Lower interpolation error than
+    Keys cubic on natural content (measured +2 dB on the full separable
+    pipeline vs the fft reference)."""
     eps = 1e-12
     ws = []
     for j in range(-2, 4):
@@ -76,9 +90,9 @@ def lanczos3_weights(f):
 
 
 def _shear_rows_jnp(x: jnp.ndarray, s: jnp.ndarray, frac: bool) -> jnp.ndarray:
-    """Reference implementation: circular per-row cubic column shift.
+    """Reference implementation: circular per-row Lanczos-3 column shift.
 
-    out[n, y, v] = x[n, y, (v + d) mod W], Keys-cubic in d = s_n * (y - yc)
+    out[n, y, v] = x[n, y, (v + d) mod W], Lanczos-3 in d = s_n * (y - yc)
     (frac=False: integer floor shift only).
     """
     n, h, w = x.shape
@@ -92,11 +106,13 @@ def _shear_rows_jnp(x: jnp.ndarray, s: jnp.ndarray, frac: bool) -> jnp.ndarray:
     g0 = jnp.take_along_axis(x, idx0, axis=-1)
     if not frac:
         return g0
-    wm1, w0, w1, w2 = keys_weights(a)
-    out = w0 * g0
-    out = out + wm1 * jnp.take_along_axis(x, jnp.mod(idx0 - 1, w), axis=-1)
-    out = out + w1 * jnp.take_along_axis(x, jnp.mod(idx0 + 1, w), axis=-1)
-    out = out + w2 * jnp.take_along_axis(x, jnp.mod(idx0 + 2, w), axis=-1)
+    ws = lanczos3_weights(a)
+    out = ws[2] * g0  # tap j=0
+    for wj, off in zip(ws, range(-2, 4)):
+        if off == 0:
+            continue
+        out = out + wj * jnp.take_along_axis(x, jnp.mod(idx0 + off, w),
+                                             axis=-1)
     return out
 
 
@@ -112,7 +128,7 @@ def _shear_impl(x, s, frac=True):
 
 @partial(jax.custom_vjp, nondiff_argnums=())
 def shear_rows(x: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
-    """Circular bilinear row shear of a tile batch.
+    """Circular Lanczos-3 row shear of a tile batch.
 
     :param x: (N, H, W) tile canvas (W from :func:`shear_canvas_width`)
     :param s: (N,) shear slope per tile; row y shifts by s*(y - (H-1)/2)
@@ -129,7 +145,7 @@ def _shear_bwd(res, g):
     x, s = res
     gx = _shear_impl(g, -s)
     # d out / d d_y ~= z_{k+1} - z_k (first-order; exact for the linear
-    # part of the cubic kernel); d d_y / d s = (y - yc)
+    # part of the interpolation kernel); d d_y / d s = (y - yc)
     z0 = _shear_impl(x, s, frac=False)
     z1 = jnp.roll(z0, -1, axis=-1)
     h = x.shape[1]
@@ -139,3 +155,43 @@ def _shear_bwd(res, g):
 
 
 shear_rows.defvjp(_shear_fwd, _shear_bwd)
+
+
+def gauss_fold_shear_rows(x: jnp.ndarray, s: jnp.ndarray, coef: jnp.ndarray,
+                          half: int) -> jnp.ndarray:
+    """Exact ``conv_x(coef) . circular_shear(s)``, evaluated spectrally.
+
+    The circular fractional shift is diagonal in the x-frequency domain
+    (a pure phase ramp) and so is the 2*half+1-tap Gaussian conv (its real
+    cosine spectrum), so the composite is one rfft, one elementwise
+    multiply by ``Ghat(k) * exp(i 2 pi k d_y / W)``, one irfft — the shift
+    part is the IDEAL circular interpolator (zero interpolation error; the
+    Gaussian spectrum windows any ringing) and the conv part is exactly
+    the L1-normalized integer-tap kernel used everywhere else. In the
+    Pallas kernels the same math runs as four in-VMEM DFT matmuls instead
+    of 37 roll passes (rolls were ~60% of the round-3 mega kernel's time).
+
+    Differentiable in x, s and coef through standard autodiff.
+    """
+    if x.ndim != 3:
+        raise ValueError(f"gauss_fold_shear_rows expects (N, H, W), "
+                         f"got {x.shape}")
+    return _gauss_fold_shear_jnp(x, s, coef, half)
+
+
+def _gauss_fold_shear_jnp(x, s, coef, half):
+    n, h, w = x.shape
+    Z = jnp.fft.rfft(x.astype(jnp.float32), axis=-1)   # (N, H, K)
+    k = jnp.arange(Z.shape[-1], dtype=jnp.float32)
+    taps = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    kt = jnp.exp(-0.5 * coef.astype(jnp.float32)[:, None] * taps[None] ** 2)
+    kt = kt / jnp.sum(kt, axis=-1, keepdims=True)      # (N, 2*half+1)
+    ang = (2.0 * jnp.pi / w) * k[None, :] * taps[:, None]   # (taps, K)
+    ghat = jnp.einsum("nt,tk->nk", kt, jnp.cos(ang))   # (N, K) real
+    yc = (h - 1) / 2.0
+    rows = jnp.arange(h, dtype=jnp.float32)
+    d = s.astype(jnp.float32)[:, None] * (rows[None, :] - yc)   # (N, H)
+    ph = jnp.exp(1j * (2.0 * jnp.pi / w)
+                 * d[:, :, None] * k[None, None, :])
+    out = jnp.fft.irfft(Z * ghat[:, None, :] * ph, n=w, axis=-1)
+    return out.astype(x.dtype)

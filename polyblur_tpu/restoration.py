@@ -79,12 +79,14 @@ def compute_polynomial_direct(img: jnp.ndarray, kernel, alpha, beta,
 
 
 def compute_polynomial(img, kernel, alpha, beta, method: str = "fft",
-                       not_symmetric: bool = False):
+                       not_symmetric: bool = False, ker_size: int = 25):
     """Backend dispatcher (deblurring.py:113-119).
 
     ``direct_separable`` with a ``(sigma, rho, theta)`` kernel tuple takes
     the shear-factorized MXU hot path (ops/sep_poly.py) — the TPU-native
     equivalent of the reference's oriented separable C++ kernel.
+    ``ker_size`` only applies to parametric kernels (2D kernels carry
+    their own support).
     """
     if method == "fft":
         return compute_polynomial_fft(img, kernel, alpha, beta, not_symmetric)
@@ -92,7 +94,8 @@ def compute_polynomial(img, kernel, alpha, beta, method: str = "fft",
         from .ops.sep_poly import compute_polynomial_separable
 
         sigma, rho, theta = kernel
-        return compute_polynomial_separable(img, sigma, rho, theta, alpha, beta)
+        return compute_polynomial_separable(img, sigma, rho, theta, alpha,
+                                            beta, ker_size=ker_size)
     if method in ("direct", "direct_separable"):
         return compute_polynomial_direct(img, kernel, alpha, beta, method)
     raise ValueError(f"{method!r} not implemented")
@@ -121,17 +124,20 @@ def halo_masking(img: jnp.ndarray, imout: jnp.ndarray,
 def inverse_filtering_rank3(img: jnp.ndarray, kernel, alpha=2.0, beta=4.0,
                             correlate: bool = False, remove_halo: bool = False,
                             do_edgetaper: bool = False, grad_img=None,
-                            method: str = "fft") -> jnp.ndarray:
+                            method: str = "fft",
+                            ker_size: int = 25) -> jnp.ndarray:
     """One polynomial deconvolution step with padding/taper/halo handling.
 
     Mirrors deblurring.py:211-239: replicate-pad by half the kernel support,
     optionally edge-tape, apply p(K), crop back, optionally mask halos,
-    clamp to [0, 1].
+    clamp to [0, 1]. ``ker_size`` sets the support for parametric
+    ``(sigma, rho, theta)`` kernels (the reference's ker_size surface,
+    deblurring.py:23); 2D kernel arrays carry their own.
     """
     from .utils.profiling import record_dispatch
 
     is_param_kernel = isinstance(kernel, (tuple, list))
-    ksize = 25 if is_param_kernel else kernel.shape[-1]
+    ksize = ker_size if is_param_kernel else kernel.shape[-1]
     fast = (is_param_kernel and method == "direct_separable"
             and not do_edgetaper)
     record_dispatch("inverse_filtering_rank3",
@@ -143,12 +149,13 @@ def inverse_filtering_rank3(img: jnp.ndarray, kernel, alpha=2.0, beta=4.0,
         sigma, rho, theta = kernel
         if remove_halo:
             imout = compute_polynomial_separable(img, sigma, rho, theta,
-                                                 alpha, beta, prepad=True)
+                                                 alpha, beta, prepad=True,
+                                                 ker_size=ksize)
             imout = halo_masking(img, imout, grad_img)
             return jnp.clip(imout, 0.0, 1.0)
         return compute_polynomial_separable(img, sigma, rho, theta,
                                             alpha, beta, prepad=True,
-                                            clip=True)
+                                            clip=True, ker_size=ksize)
     if correlate and not is_param_kernel:
         kernel = jnp.rot90(kernel, k=2, axes=(-2, -1))
     padded = pad_with_kernel(img, ksize=ksize)
@@ -157,7 +164,8 @@ def inverse_filtering_rank3(img: jnp.ndarray, kernel, alpha=2.0, beta=4.0,
         # on every method) — edgetaper builds the 2D kernel from
         # (sigma, rho, theta) when needed.
         padded = _edgetaper.edgetaper(padded, kernel, method=method)
-    imout = compute_polynomial(padded, kernel, alpha, beta, method=method)
+    imout = compute_polynomial(padded, kernel, alpha, beta, method=method,
+                               ker_size=ksize)
     imout = crop_with_kernel(imout, ksize=ksize)
     if remove_halo:
         # The reference compares against the (possibly edge-tapered) padded

@@ -235,7 +235,7 @@ def test_dispatch_log_records_backends():
     assert ("inverse_filtering_rank3", "generic/fft") in log
     assert ("inverse_filtering_rank3", "separable_fast") in log
     # off-TPU the separable op takes the XLA band composition w/ explicit pad
-    assert ("compute_polynomial_separable", "xla_band/prepad") in log
+    assert ("compute_polynomial_separable", "xla_sep/prepad") in log
     reset_dispatch_log()
     assert dispatch_log() == {}
 

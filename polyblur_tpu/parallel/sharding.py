@@ -47,8 +47,9 @@ def _shard_map(f, mesh, in_specs, out_specs):
 from ..patches import plan_patch_grid, extract_patches, overlap_add
 from ..pipeline import polyblur_core
 
-__all__ = ["make_mesh", "deblur_sharded", "training_step",
-           "make_sharded_train_step", "data_parallel_deblur"]
+__all__ = ["make_mesh", "deblur_sharded", "deblur_sharded_reassembly",
+           "assemble_bands", "training_step", "make_sharded_train_step",
+           "data_parallel_deblur"]
 
 
 def make_mesh(devices=None, data_axis: int = 1) -> Mesh:
@@ -130,7 +131,7 @@ def data_parallel_deblur(images: jnp.ndarray, mesh: Mesh,
 
 def training_step(params: dict, blurry: jnp.ndarray, sharp: jnp.ndarray,
                   mesh: Mesh, lr: float = 1e-3, n_iter: int = 2,
-                  method: str = "fft"):
+                  method: str = "direct_separable"):
     """One SGD step through the differentiable deblurring layer.
 
     The training-layer use case (reference README.md:69-80, BASELINE
@@ -166,7 +167,7 @@ def training_step(params: dict, blurry: jnp.ndarray, sharp: jnp.ndarray,
 
 
 def make_sharded_train_step(optimizer, mesh: Mesh, n_iter: int = 2,
-                            method: str = "fft"):
+                            method: str = "direct_separable"):
     """Sharded optax training step factory (the stateful-optimizer analog
     of :func:`training_step`).
 
@@ -203,3 +204,105 @@ def make_sharded_train_step(optimizer, mesh: Mesh, n_iter: int = 2,
                     jax.device_put(sharp, batch_spec))
 
     return run
+
+
+def deblur_sharded_reassembly(images: jnp.ndarray, mesh: Mesh,
+                              patch_size: int = 400, overlap: float = 0.25,
+                              window_type: str = "kaiser",
+                              **polyblur_kwargs):
+    """Patch-engine deblurring whose OUTPUT STAYS SHARDED (SURVEY §5.7's
+    sharded-reassembly alternative to :func:`deblur_sharded`).
+
+    Tile ROWS are sharded over the mesh's 'tile' axis and the batch over
+    'data'. Each device restores its local tiles, overlap-adds them into
+    its local canvas band (reshape decomposition, no scatter chain), then
+    exchanges ONE seam strip (the ``ph - step`` overlap rows) with its +1
+    neighbour via ``jax.lax.ppermute`` — the only collective; it rides ICI
+    between tile shards. The result is a (tile_shards, B_local-stacked)
+    banded representation that never materializes the gathered image;
+    :func:`assemble_bands` does the final (pure-slicing) concatenation
+    when a host-side image is wanted.
+
+    :return: ``(bands, meta)`` — bands is (S, B, C, band_h, W_pad) sharded
+        ``P('tile', 'data')``; meta carries the static plan for
+        :func:`assemble_bands`.
+    """
+    from ..utils.imaging import build_window_np
+    from ..patches import _grid_steps, _join_axis
+
+    b, c, h, w = images.shape
+    grid = plan_patch_grid(h, w, patch_size, overlap)
+    reg = _grid_steps(grid)
+    if reg is None:
+        raise ValueError("sharded reassembly needs a regular tile grid")
+    th, tw, sh_, sw_ = reg
+    ph, pw = grid.patch_size
+    S = mesh.shape["tile"]
+    if th % S != 0:
+        raise ValueError(f"{th} tile rows not divisible by tile axis {S}")
+    if b % mesh.shape["data"] != 0:
+        raise ValueError(f"batch {b} not divisible by data axis")
+    thl = th // S
+    band = (thl - 1) * sh_ + ph
+    tail = ph - sh_
+    H, W = grid.padded_size
+
+    tiles = extract_patches(images, grid)  # (T*B, C, ph, pw)
+    tiles = tiles.reshape(th, tw, b, c, ph, pw)
+    tiles = jnp.moveaxis(tiles, 2, 1)      # (th, B, tw, C, ph, pw)
+
+    window_np = build_window_np((ph, pw), window_type)
+    window = jnp.asarray(window_np).astype(images.dtype)
+    wsum_np = np.zeros((H + tail, W), np.float64)
+    for (i0, j0) in grid.coords:
+        wsum_np[i0:i0 + ph, j0:j0 + pw] += window_np
+    bands_w = np.stack([
+        wsum_np[d * thl * sh_: d * thl * sh_ + band] for d in range(S)
+    ]).astype(np.float32)  # (S, band, W)
+    bands_w = jnp.asarray(bands_w)
+
+    def local_fn(tiles_l, wsum_l):
+        # tiles_l (thl, B_l, tw, C, ph, pw); wsum_l (1, band, W)
+        t_l, b_l = tiles_l.shape[0], tiles_l.shape[1]
+        flat = tiles_l.reshape(t_l * b_l * tw, c, ph, pw)
+        restored = polyblur_core(flat, **polyblur_kwargs)
+        rest = restored.reshape(t_l, b_l, tw, c, ph, pw) \
+            * window.astype(restored.dtype)
+        # reshape-decomposition overlap-add (patches._join_axis): columns
+        # then local rows -> (B_l, C, band, W)
+        t6 = jnp.moveaxis(rest, 2, 0)            # (tw, thl, B_l, C, ph, pw)
+        joined = _join_axis(t6, sw_, pw, axis=4)  # (thl, B_l, C, ph, W)
+        canvas = _join_axis(joined, sh_, ph, axis=2)  # (B_l, C, band, W)
+        # seam exchange: my TAIL rows overlap the next shard's head
+        strip = canvas[:, :, band - tail:]
+        perm = [(i, i + 1) for i in range(S - 1)]
+        recv = jax.lax.ppermute(strip, "tile", perm)
+        canvas = canvas.at[:, :, :tail].add(recv)
+        canvas = canvas / (wsum_l + 1e-8).astype(canvas.dtype)
+        return jnp.clip(canvas, 0.0, 1.0)[None]
+
+    bands = jax.jit(_shard_map(
+        local_fn, mesh,
+        (P("tile", "data", None, None, None, None), P("tile", None, None)),
+        P("tile", "data", None, None, None),
+    ))(tiles, bands_w[:, None])
+    meta = dict(grid=grid, thl=thl, step_h=sh_, band=band, tail=tail,
+                orig=grid.orig_size, pad=grid.pad)
+    return bands, meta
+
+
+def assemble_bands(bands, meta) -> jnp.ndarray:
+    """Concatenate the sharded bands of
+    :func:`deblur_sharded_reassembly` into a (B, C, h, w) image.
+
+    Pure slicing: seams were already exchanged on-device, so band d
+    contributes its first ``thl*step`` rows (its tail rows are the next
+    band's completed head), the last band contributes everything.
+    """
+    s = bands.shape[0]
+    keep = meta["thl"] * meta["step_h"]
+    parts = [bands[d, :, :, :keep] for d in range(s - 1)] + [bands[s - 1]]
+    canvas = jnp.concatenate(parts, axis=2)
+    pt, pb, pl_, pr_ = meta["pad"]
+    h, w = meta["orig"]
+    return canvas[:, :, pt:pt + h, pl_:pl_ + w]

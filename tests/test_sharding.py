@@ -112,3 +112,44 @@ def test_sharded_optax_train_step():
     assert losses[-1] < losses[0], losses
     for v in params.values():
         assert np.isfinite(float(v))
+
+
+def test_sharded_reassembly_matches_gathered():
+    """SURVEY §5.7 sharded-reassembly variant: outputs stay sharded, the
+    only collective is the ppermute seam exchange between tile shards —
+    assembled result must match the gather-style deblur_sharded path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from polyblur_tpu.parallel.sharding import (
+        make_mesh, deblur_sharded, deblur_sharded_reassembly, assemble_bands)
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh(jax.devices()[:8], data_axis=2)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(size=(2, 1, 96, 96)).astype(np.float32))
+    kw = dict(n_iter=1, alpha=6.0, beta=1.0)
+    ref = deblur_sharded(img, mesh, patch_size=32, overlap=0.25, **kw)
+    bands, meta = deblur_sharded_reassembly(img, mesh, patch_size=32,
+                                            overlap=0.25, **kw)
+    got = assemble_bands(bands, meta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-6, rtol=0)
+
+
+def test_multihost_mesh_layout_single_process():
+    """make_multihost_mesh on a single process: data axis defaults to the
+    process count (1) and the mesh covers every device."""
+    import jax
+    from polyblur_tpu.parallel.distributed import (make_multihost_mesh,
+                                                   initialize_distributed)
+
+    assert initialize_distributed() is False  # single-process run
+    mesh = make_multihost_mesh()
+    assert mesh.shape["data"] == 1
+    assert mesh.shape["data"] * mesh.shape["tile"] == len(jax.devices())
+    mesh2 = make_multihost_mesh(data_axis=2)
+    assert mesh2.shape["data"] == 2

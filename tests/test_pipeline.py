@@ -74,11 +74,10 @@ def test_golden_peacock_artifact_psnr_pinned(ref, peacock):
 
 def test_golden_peacock_fullres_separable(ref, peacock):
     """Separable-path-vs-reference-output gate at the demo config on the
-    full-res peacock. Round 2 measured 36.5 dB (fixed row shear, Keys,
-    aliasing-prone margin); the round-3 operator (orientation auto-select,
-    Lanczos-3 input shear, exact Gaussian-fold output, alias-safe margin)
-    measures ~50.6 dB — gated at the VERDICT done-criterion (>= 42) plus
-    headroom."""
+    full-res peacock. Round 2 measured 36.5 dB (fixed row shear, Keys
+    cubic, aliasing-prone margin); the round-3 spectral-x operator
+    (orientation auto-select + ideal phase-ramp shear) measures ~52.2 dB —
+    gated at the VERDICT done-criterion (>= 42) plus headroom."""
     x = jnp.asarray(peacock.transpose(2, 0, 1))[None]
     out = polyblur_core(x, n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
                         method="direct_separable")
@@ -257,3 +256,32 @@ def test_pipeline_honors_ker_size():
         assert o31.shape == x.shape
         if method == "direct_separable":
             assert float(jnp.max(jnp.abs(o31 - o25))) > 1e-5
+
+
+def test_corpus_parity_per_method():
+    """Structurally diverse parity corpus (VERDICT r2 item #8): oriented
+    edges, 1/f texture, clipped highlights, low contrast — each blurred
+    with a known anisotropic kernel and restored by the LIVE reference
+    (tests/make_fixtures.py::make_corpus). Gates per method:
+
+    * fft: machine-precision agreement (measured 120 dB on all four);
+    * direct_separable: >= 45 dB agreement (measured 51.8-89.3) and
+      restoration strength within 0.2 dB of the reference's.
+    """
+    import os
+
+    fx = np.load(os.path.join(os.path.dirname(__file__), "data",
+                              "corpus_fixtures.npz"))
+    for name in ("edges", "texture", "saturation", "lowcontrast"):
+        x = jnp.asarray(fx[f"{name}_in"])[None, None]
+        tgt = fx[f"{name}_out_fft"]
+        sharp = fx[f"{name}_sharp"]
+        kw = dict(n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0)
+        out_fft = polyblur_core(x, method="fft", **kw)
+        assert psnr(out_fft[0, 0], tgt[0, 0]) > 60.0, name
+        assert abs(psnr(out_fft[0, 0], sharp) - psnr(tgt[0, 0], sharp)) < 0.1
+        out_sep = polyblur_core(x, method="direct_separable", **kw)
+        agree = psnr(out_sep[0, 0], tgt[0, 0])
+        assert agree > 45.0, (name, agree)
+        d = abs(psnr(out_sep[0, 0], sharp) - psnr(tgt[0, 0], sharp))
+        assert d < 0.2, (name, d)

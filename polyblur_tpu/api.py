@@ -104,6 +104,10 @@ def _run_verbose(img: jnp.ndarray, cfg: PolyblurConfig) -> jnp.ndarray:
 def _adapt_in(img):
     """numpy (H,W)/(H,W,C) -> ((1,C,H,W) jax array, was_numpy flag)."""
     if isinstance(img, np.ndarray):
+        if img.ndim not in (2, 3):
+            raise ValueError(
+                "numpy input must be (H, W) or (H, W, C) — pass a "
+                f"(B, C, H, W) jax array for batches; got shape {img.shape}")
         return to_tensor(img)[None], True
     img = jnp.asarray(img)
     if img.ndim != 4:

@@ -205,11 +205,53 @@ def synthetic_sharp_images(n: int, size: int, seed: int = 1234):
     return out
 
 
+def dead_leaves_images(n: int, size: int, seed: int = 1234,
+                       rmin: float = 1.5, rmax: float = 120.0):
+    """Dead-leaves synthetic images: occluding disks with a power-law
+    r^-3 size distribution — the standard scale-invariant model of
+    natural-image statistics (1/f^2 power spectrum, occlusion edges at
+    every orientation and contrast). Closest offline stand-in for the
+    DIV2K photographs the published (0.362, -0.468) constants were fitted
+    on (reference README.md:100-101): calibration only sees
+    directional-gradient maxima, which dead leaves reproduce far better
+    than piecewise-constant blobs."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    out = []
+    # inverse-CDF sampling of p(r) ~ r^-3 on [rmin, rmax]
+    a2, b2 = rmin ** -2.0, rmax ** -2.0
+    for _ in range(n):
+        img = np.full((size, size), np.nan, np.float32)
+        remaining = size * size
+        while remaining > 0:
+            u = rng.uniform(b2, a2)
+            r = float(u ** -0.5)
+            cy, cx = rng.uniform(-r, size + r, size=2)
+            g = rng.uniform(0.05, 0.95)
+            y0, y1 = max(0, int(cy - r) - 1), min(size, int(cy + r) + 2)
+            x0, x1 = max(0, int(cx - r) - 1), min(size, int(cx + r) + 2)
+            if y0 >= y1 or x0 >= x1:
+                continue
+            box = img[y0:y1, x0:x1]
+            mask = (((yy[y0:y1, x0:x1] - cy) ** 2
+                     + (xx[y0:y1, x0:x1] - cx) ** 2) <= r * r) \
+                & np.isnan(box)
+            box[mask] = g
+            remaining -= int(mask.sum())
+        out.append(img)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Calibrate the (c, b) blur model")
     p.add_argument("--images", type=str, default="",
                    help="glob of SHARP calibration images (reference: DIV2K "
-                        "valid); empty = synthetic sharp images")
+                        "valid); empty = synthetic images (--corpus)")
+    p.add_argument("--corpus", choices=("dead_leaves", "piecewise"),
+                   default="dead_leaves",
+                   help="synthetic corpus when --images is empty: "
+                        "dead_leaves (natural statistics; default) or the "
+                        "round-2 piecewise-constant blobs")
     p.add_argument("--n_synthetic", type=int, default=8)
     p.add_argument("--n_kernels", type=int, default=10)
     p.add_argument("--patch_size", type=int, default=400)
@@ -231,8 +273,10 @@ def main(argv=None):
         print(f"Calibrating on {len(sources)} image(s), "
               f"{args.n_kernels} kernels each, noise {args.noise_std}")
     else:
-        sources = synthetic_sharp_images(args.n_synthetic, 480)
-        print(f"Calibrating on {len(sources)} synthetic sharp images, "
+        gen = (dead_leaves_images if args.corpus == "dead_leaves"
+               else synthetic_sharp_images)
+        sources = gen(args.n_synthetic, 480)
+        print(f"Calibrating on {len(sources)} {args.corpus} images, "
               f"{args.n_kernels} kernels each, noise {args.noise_std}")
     res = calibrate(sources, n_kernels=args.n_kernels,
                     patch_size=args.patch_size,

@@ -15,13 +15,14 @@ Design history (each stage measured on v5e through the axon tunnel):
   five per-tile scalars. Matrix "construction" is ~0.4M VPU exps per
   program, overlapped with the MXU dots.
 
-Round-3 operator update (see ops/sep_poly.py): the chain is arranged as
-``p(K) u = beta u + (U X)[a1 + V X a2 + (V X)^2 a3](V S u)`` — the input
-shear is Lanczos-3 (its interpolation error is low-passed by the whole
-chain) and the output transform is the EXACT Gaussian fold (the fractional
-unshear shift folds into the Gaussian taps analytically). Orientation
-auto-select happens OUTSIDE this kernel (ops/sep_poly.py conditionally
-transposes the square tiles), so the kernel always shears rows.
+Round-3 operator update (see ops/sep_poly.py): the whole chain is
+spectral along x — ``p(K) u = beta u + irfft(Ghat conj(ph)
+[a1 + V Ghat a2 + (V Ghat)^2 a3](V(ph rfft(u))))`` with the shear as an
+IDEAL phase ramp and the x-Gaussian as its cosine tap spectrum (both
+zero-interpolation-error, both elementwise in k); only the y-conv is a
+band matmul. Orientation auto-select happens OUTSIDE this kernel
+(ops/sep_poly.py conditionally transposes the square tiles), so the
+kernel always shears rows.
 
 Gradients: the custom VJP differentiates the equivalent XLA composition
 (grouped 1D convolutions — cheap, no banded operators in HBM); the Pallas

@@ -125,7 +125,8 @@ def inverse_filtering_rank3(img: jnp.ndarray, kernel, alpha=2.0, beta=4.0,
                             correlate: bool = False, remove_halo: bool = False,
                             do_edgetaper: bool = False, grad_img=None,
                             method: str = "fft",
-                            ker_size: int = 25) -> jnp.ndarray:
+                            ker_size: int = 25,
+                            prefer_xla: bool = False) -> jnp.ndarray:
     """One polynomial deconvolution step with padding/taper/halo handling.
 
     Mirrors deblurring.py:211-239: replicate-pad by half the kernel support,
@@ -150,12 +151,14 @@ def inverse_filtering_rank3(img: jnp.ndarray, kernel, alpha=2.0, beta=4.0,
         if remove_halo:
             imout = compute_polynomial_separable(img, sigma, rho, theta,
                                                  alpha, beta, prepad=True,
-                                                 ker_size=ksize)
+                                                 ker_size=ksize,
+                                                 prefer_xla=prefer_xla)
             imout = halo_masking(img, imout, grad_img)
             return jnp.clip(imout, 0.0, 1.0)
         return compute_polynomial_separable(img, sigma, rho, theta,
                                             alpha, beta, prepad=True,
-                                            clip=True, ker_size=ksize)
+                                            clip=True, ker_size=ksize,
+                                            prefer_xla=prefer_xla)
     if correlate and not is_param_kernel:
         kernel = jnp.rot90(kernel, k=2, axes=(-2, -1))
     padded = pad_with_kernel(img, ksize=ksize)

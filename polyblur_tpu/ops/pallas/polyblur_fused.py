@@ -145,13 +145,14 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
                         z)
                 return z[:ht, :wt]
 
-            # materialize the de-offset tile once; everything downstream
-            # (gradient hoist, iteration state) reads ts_ref
+            # materialize the de-offset tile once as the iteration state;
+            # tile_plane stays an ORIGINAL-INPUT accessor (xt_ref is never
+            # overwritten) so halo gradients recomputed inside the loop
+            # still see the input, not the current iterate
             for ch in range(csz):
                 ts_ref[ch] = _aligned_plane(ch)
 
-            def tile_plane(ch):
-                return ts_ref[ch]
+            tile_plane = _aligned_plane
         else:
             x_ref = x_in_ref
             _, c, ht, wt = x_ref.shape
@@ -185,20 +186,24 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
         # host-precomputed DFT blocks, fetched once (constant index maps)
         dft = (cf_ref[...], sf_ref[...], ai_ref[...], bi_ref[...])
 
-        if do_halo:
-            # Input-tile gradients for halo masking are loop-invariant
-            # (pipeline.py computes grad_img once from the original input,
-            # deblurring.py:61) — hoist them out of the iteration loop
-            # instead of paying 2 matmuls per channel per iteration.
-            grads0 = []
-            for ch in range(csz):
-                x0 = tile_plane(ch).astype(jnp.float32)
-                gx0 = jax.lax.dot_general(
-                    x0, dw, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                gy0 = jax.lax.dot(dh, x0,
-                                  preferred_element_type=jnp.float32)
-                grads0.append((gx0, gy0, jnp.sum(gx0 * gx0 + gy0 * gy0)))
+        def _input_grads(ch):
+            x0 = tile_plane(ch).astype(jnp.float32)
+            gx0 = jax.lax.dot_general(
+                x0, dw, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            gy0 = jax.lax.dot(dh, x0, preferred_element_type=jnp.float32)
+            return gx0, gy0, jnp.sum(gx0 * gx0 + gy0 * gy0)
+
+        # Input-tile gradients for halo masking are loop-invariant
+        # (pipeline.py computes grad_img once from the original input,
+        # deblurring.py:61). Hoisting them out of the iteration loop saves
+        # 2 matmuls per channel per iteration but keeps 2*csz full-tile
+        # f32 planes live for the whole program — at the 640px gate with
+        # the full feature set that alone overflows the 128MB VMEM, so
+        # big tiles recompute instead (the matmuls are ~free on the MXU).
+        hoist_grads = do_halo and (csz * ht * wt * 8) <= 6 * 1024 * 1024
+        if hoist_grads:
+            grads0 = [_input_grads(ch) for ch in range(csz)]
 
         def iteration(_, carry):
             # ---------------- estimation (shared across channels) -------
@@ -426,8 +431,9 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
 
                 if do_halo:
                     # gradient-inversion masking (deblurring.py:193-208,
-                    # grad_prod_ bug fixed): input grads hoisted above
-                    gx0, gy0, nM = grads0[ch]
+                    # grad_prod_ bug fixed)
+                    gx0, gy0, nM = (grads0[ch] if hoist_grads
+                                    else _input_grads(ch))
                     gox = jax.lax.dot_general(
                         o, dw, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)

@@ -29,9 +29,28 @@ __all__ = ["polyblur_core", "edge_aware_filtering", "mega_restore_padded",
            "mega_padded_eligible"]
 
 _MEGA_MAX_TILE = 640
+# Scoped-VMEM envelope is feature-dependent (measured on v5e through the
+# AOT relay): the full feature set through the domain-transform smoother
+# needs ~298 B/px of kernel stack — 122.16MB at 640px against the 100MB
+# scoped limit (and unfittable even at the 128MB physical VMEM once block
+# buffers are counted); 576px (~99MB estimated) still fails, 512px
+# compiles and runs. The Hillis-Steele IIR scans' doubling-step
+# temporaries are what separates dt from the other feature sets: plain
+# and full-feature-bilateral both fit at 640px (probed). The gate must
+# reject what Mosaic cannot compile: dispatch falls back to the composed
+# path instead of crashing the compiler.
+_MEGA_MAX_TILE_DT = 512
 # Orientation auto-select inside the mega kernel bounds |shear slope| by 1
 # (ops.sep_poly.orientation_params); the clamp is a numerical guard only.
 _MEGA_SMAX = 1.0
+
+
+def mega_tile_cap(prefiltering: bool, smoother: str) -> int:
+    """Largest square tile edge the mega kernel's scoped-VMEM stack admits
+    for this feature set (see the envelope note on ``_MEGA_MAX_TILE_DT``)."""
+    return (_MEGA_MAX_TILE_DT
+            if prefiltering and smoother == "domain_transform"
+            else _MEGA_MAX_TILE)
 
 
 def _mega_static_ok(method, remat, discard_saturation, multichannel_kernel,
@@ -43,13 +62,14 @@ def _mega_static_ok(method, remat, discard_saturation, multichannel_kernel,
     a conditionally transposed frame (non-square inputs take the composed
     path, whose per-application fused kernel pads to square instead).
     """
+    cap = mega_tile_cap(prefiltering, smoother)
     return (method == "direct_separable" and not disable and not remat
             and not (discard_saturation or multichannel_kernel)
             and (not prefiltering
                  or smoother in ("bilateral", "domain_transform"))
             and q == 0.0 and ker_size == 25 and n_angles == 6
             and n_interpolated_angles == 30 and h == w
-            and max(h, w) <= _MEGA_MAX_TILE
+            and max(h, w) <= cap
             and jax.default_backend() == "tpu")
 
 
@@ -231,13 +251,15 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
             restored = restoration.inverse_filtering_rank3(
                 smooth, kernel, alpha=alpha, beta=beta,
                 remove_halo=remove_halo, do_edgetaper=edgetaping,
-                grad_img=grad_img, method=method, ker_size=ker_size)
+                grad_img=grad_img, method=method, ker_size=ker_size,
+                prefer_xla=remat)
             restored = restored + noise
         else:
             restored = restoration.inverse_filtering_rank3(
                 impred, kernel, alpha=alpha, beta=beta,
                 remove_halo=remove_halo, do_edgetaper=edgetaping,
-                grad_img=grad_img, method=method, ker_size=ker_size)
+                grad_img=grad_img, method=method, ker_size=ker_size,
+                prefer_xla=remat)
         if (method == "direct_separable" and not prefiltering
                 and not remove_halo and not edgetaping):
             # inverse_filtering's fused kernel already clamped to [0, 1]

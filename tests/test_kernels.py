@@ -423,6 +423,22 @@ def test_mega_kernel_full_features_interpret(peacock):
     assert psnr(np.asarray(out), np.asarray(ref)) > 38.0
 
 
+def test_mega_tile_cap_feature_envelope():
+    """The scoped-VMEM envelope is feature-dependent: the full-feature
+    domain-transform config measured 122.16MB of kernel stack at 640px
+    (AOT compiler accounting) vs the 100MB scoped limit and still fails
+    at 576px, so dt-prefilter configs cap at 512px (probed good);
+    everything else keeps the 640px envelope (plain and worst-case
+    bilateral probed good at 640px). The gate must reject what Mosaic
+    cannot compile."""
+    from polyblur_tpu.pipeline import mega_tile_cap
+
+    assert mega_tile_cap(False, "bilateral") == 640
+    assert mega_tile_cap(True, "bilateral") == 640
+    assert mega_tile_cap(True, "domain_transform") == 512
+    assert mega_tile_cap(False, "domain_transform") == 640
+
+
 def test_orientation_select_extremes():
     """The per-sample shear-orientation auto-select bounds |slope| by 1
     for every positive-definite form, so the separable operator stays

@@ -29,14 +29,16 @@ def make_12mp_image(rng):
     return np.clip(big, 0.0, 1.0).astype(np.float32).transpose(2, 0, 1)[None]
 
 
-def bench(fn, x, n_runs=3, chain=32):
-    """Min per-call wall time over n_runs measurements.
+def bench(fn, x, n_runs=3, chain=(8, 32)):
+    """Per-call device time via a two-point chain-length fit.
 
     On the tunneled TPU backend ``block_until_ready`` returns without
     waiting, so each measurement forces execution with an on-device scalar
-    reduction fetched to host. ``chain`` sequential dependent calls
-    (output fed back as input) amortize the fetch round-trip and prevent
-    overlapped dispatch from hiding real compute time.
+    reduction fetched to host. That force costs a large CONSTANT
+    round-trip (~40 ms on this relay, independent of the computation):
+    timing k sequential dependent calls (output fed back as input) plus
+    one force at two chain lengths and taking the slope cancels the
+    constant exactly, leaving pure device time per call.
     """
     import jax.numpy as jnp
 
@@ -45,15 +47,20 @@ def bench(fn, x, n_runs=3, chain=32):
 
     out = fn(x)
     force(out)  # compile + first run
-    times = []
-    for _ in range(n_runs):
+
+    def run(k):
         t0 = time.perf_counter()
         v = x
-        for _ in range(chain):
+        for _ in range(k):
             v = fn(v)
         force(v)
-        times.append((time.perf_counter() - t0) / chain)
-    return min(times)
+        return time.perf_counter() - t0
+
+    k1, k2 = chain
+    t1 = min(run(k1) for _ in range(n_runs))
+    t2 = min(run(k2) for _ in range(n_runs))
+    slope = (t2 - t1) / (k2 - k1)
+    return slope if slope > 0 else t2 / k2
 
 
 def main():

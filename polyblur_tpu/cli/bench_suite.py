@@ -35,19 +35,39 @@ def _force(v):
     return tot
 
 
-def _time(fn, *args, chain=4, n=3):
+def _time(fn, *args, chain=4, n=3, chainable=True):
+    """Per-call device time via a two-point chain-length fit.
+
+    Forcing a result through the tunneled TPU backend costs a large
+    CONSTANT readback round-trip (measured ~40 ms on this relay,
+    independent of the computation). Timing k dependent calls plus one
+    force at two different k and taking the slope cancels that constant
+    exactly; a single chained measurement would inflate every row by
+    RT/chain. ``chainable=False`` queues k independent calls instead
+    (in-order device execution makes forcing the last output equivalent).
+    """
     out = fn(*args)
     _force(out)
-    ts = []
-    for _ in range(n):
+
+    def run(k):
         t0 = time.perf_counter()
-        v = args[0]
-        rest = args[1:]
-        for _ in range(chain):
-            v = fn(v, *rest)
-        _force(v)
-        ts.append((time.perf_counter() - t0) / chain)
-    return min(ts)
+        if chainable:
+            v = args[0]
+            for _ in range(k):
+                v = fn(v, *args[1:])
+            _force(v)
+        else:
+            for _ in range(k):
+                out = fn(*args)
+            _force(out)
+        return time.perf_counter() - t0
+
+    k1, k2 = chain, 3 * chain
+    t1 = min(run(k1) for _ in range(n))
+    t2 = min(run(k2) for _ in range(n))
+    slope = (t2 - t1) / (k2 - k1)
+    # noise guard: fall back to the (overhead-inclusive) long-chain mean
+    return slope if slope > 0 else t2 / k2
 
 
 def main(argv=None):
@@ -136,7 +156,7 @@ def main(argv=None):
             outs.append(f3(x, c=cc, b=bb))
         return outs
 
-    dt = _time(sweep, batch, chain=1)
+    dt = _time(sweep, batch, chain=1, chainable=False)
     mp = 3 * bsz * 3 * hw * hw / 1e6
     rows.append((f"3. batch={bsz} x 3 (c,b) settings",
                  f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))

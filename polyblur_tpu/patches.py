@@ -183,8 +183,10 @@ def overlap_add(patches: jnp.ndarray, grid: PatchGrid, batch: int,
     wsum_np = np.zeros((H, W), np.float64)
     for (i0, j0) in grid.coords:
         wsum_np[i0:i0 + ph, j0:j0 + pw] += window_np
-    wsum = jnp.asarray(wsum_np[None, None], jnp.float32).astype(patches.dtype)
-    out = jnp.clip(out / (wsum + 1e-8), 0.0, 1.0)
+    # host-side reciprocal: the device does one multiply, not a divide
+    inv_wsum = jnp.asarray(1.0 / (wsum_np[None, None] + 1e-8),
+                           jnp.float32).astype(patches.dtype)
+    out = jnp.clip(out * inv_wsum, 0.0, 1.0)
     pt, pb, pl, pr = grid.pad
     h, w = grid.orig_size
     return out[..., pt:pt + h, pl:pl + w]

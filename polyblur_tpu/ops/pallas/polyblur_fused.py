@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sep_poly_fused import (_spec_phase, _tap_spectrum_k, _dft_operands,
+from .sep_poly_fused import (_spec_phase, _tap_spectrum_k, _dft_mats_np,
                              _band_operator)
 from ..spectral_matmul import _derivative_matrix_np
 
@@ -55,6 +55,33 @@ __all__ = ["polyblur_tiles_fused"]
 _HALF = 12
 _NA = 6          # n_angles
 _NI = 30         # n_interpolated_angles
+
+
+def _packed_k(wc: int) -> int:
+    """Lane-padded half-spectrum width: K = wc//2+1 rounded up to 128."""
+    return -(-(wc // 2 + 1) // 128) * 128
+
+
+def _dft_operands_packed(wc: int, dtype):
+    """Packed real-DFT blocks: forward F = [Cf | -Sf] (wc, 2 Kp) so one
+    matmul yields the full (re | im) half-spectrum, and inverse
+    G = [Ai ; Bi] (2 Kp, wc) so one matmul consumes it. K is lane-padded
+    to Kp (a multiple of 128): the pad columns/rows are zero, so the
+    (re | im) halves sit at aligned lane offsets and the mid-chain swap
+    of the two halves is an aligned copy, never a lane relayout. Mosaic
+    pads (., K) operands to the next 128 lanes internally anyway, so the
+    explicit pad adds no FLOPs that weren't already spent."""
+    cf, sf, ai, bi = _dft_mats_np(wc)
+    K = wc // 2 + 1
+    kp = _packed_k(wc)
+    fwd = np.zeros((wc, 2 * kp), np.float32)
+    fwd[:, :K] = cf
+    fwd[:, kp:kp + K] = -sf
+    inv = np.zeros((2 * kp, wc), np.float32)
+    inv[:K, :] = ai
+    inv[kp:kp + K, :] = bi
+    mdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    return jnp.asarray(fwd, mdt), jnp.asarray(inv, mdt)
 
 
 @functools.lru_cache(maxsize=4)
@@ -99,8 +126,8 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
     (the extract_patches tensor never exists)."""
     angles = [k * math.pi / _NA for k in range(_NA + 1)]
 
-    def kernel(co_ref, x_in_ref, dw_ref, dh_ref, wr_ref, cf_ref, sf_ref,
-               ai_ref, bi_ref, out_ref, ts_ref, *dma_scratch):
+    def kernel(co_ref, x_in_ref, dw_ref, dh_ref, wr_ref, f_ref, g_ref,
+               out_ref, ts_ref, *dma_scratch):
         if dma_grid is not None:
             bsz, t_w, step_h, step_w = dma_grid
             xt_ref, sem = dma_scratch
@@ -184,7 +211,7 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
         wc = ((w_in + 2 * margin + 7) // 8) * 8
         pad_l = (wc - w_in) // 2
         # host-precomputed DFT blocks, fetched once (constant index maps)
-        dft = (cf_ref[...], sf_ref[...], ai_ref[...], bi_ref[...])
+        dft = (f_ref[...], g_ref[...])
 
         def _input_grads(ch):
             x0 = tile_plane(ch).astype(jnp.float32)
@@ -207,33 +234,39 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
 
         def iteration(_, carry):
             # ---------------- estimation (shared across channels) -------
-            gray = ts_ref[0].astype(jnp.float32)
-            for ch in range(1, csz):
-                gray = gray + ts_ref[ch].astype(jnp.float32)
-            gray = gray * (1.0 / csz)
-            vmin = jnp.min(gray)
-            vmax = jnp.max(gray)
-            g = jnp.clip((gray - vmin) / jnp.maximum(vmax - vmin, 1e-8),
-                         0.0, 1.0)
-            gx = jax.lax.dot_general(g, dw, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            gy = jax.lax.dot(dh, g, preferred_element_type=jnp.float32)
+            if "noest" in ablate:  # cost-probing only: pinned estimate
+                sigma2 = jnp.float32(2.0)
+                rho2 = jnp.float32(0.5)
+                theta = jnp.float32(0.0)
+            else:
+                gray = ts_ref[0].astype(jnp.float32)
+                for ch in range(1, csz):
+                    gray = gray + ts_ref[ch].astype(jnp.float32)
+                gray = gray * (1.0 / csz)
+                vmin = jnp.min(gray)
+                vmax = jnp.max(gray)
+                g = jnp.clip((gray - vmin) / jnp.maximum(vmax - vmin, 1e-8),
+                             0.0, 1.0)
+                gx = jax.lax.dot_general(g, dw, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                gy = jax.lax.dot(dh, g, preferred_element_type=jnp.float32)
 
-            wr = wr_ref[...]  # (8, 128): row j = interp weights of angle j
-            vals = jnp.zeros((1, 128), jnp.float32)
-            for j, t in enumerate(angles):
-                m_j = jnp.max(jnp.abs(math.cos(t) * gx - math.sin(t) * gy))
-                vals = vals + m_j * wr[j:j + 1, :]
-            vals = jnp.where(lane < _NI, vals, big)
+                wr = wr_ref[...]  # (8, 128): row j = interp weights, angle j
+                vals = jnp.zeros((1, 128), jnp.float32)
+                for j, t in enumerate(angles):
+                    m_j = jnp.max(
+                        jnp.abs(math.cos(t) * gx - math.sin(t) * gy))
+                    vals = vals + m_j * wr[j:j + 1, :]
+                vals = jnp.where(lane < _NI, vals, big)
 
-            mn = jnp.min(vals)
-            idx = jnp.min(jnp.where(vals <= mn, lane, 1000))
-            io = jnp.mod(idx + _NI // 2, _NI)
-            mo = jnp.min(jnp.where(lane == io, vals, big))
+                mn = jnp.min(vals)
+                idx = jnp.min(jnp.where(vals <= mn, lane, 1000))
+                io = jnp.mod(idx + _NI // 2, _NI)
+                mo = jnp.min(jnp.where(lane == io, vals, big))
 
-            sigma2 = jnp.clip(cc / (mn * mn + 1e-8) - bb, 0.09, 16.0)
-            rho2 = jnp.clip(cc / (mo * mo + 1e-8) - bb, 0.09, 16.0)
-            theta = idx.astype(jnp.float32) * (6.0 * math.pi / 180.0)
+                sigma2 = jnp.clip(cc / (mn * mn + 1e-8) - bb, 0.09, 16.0)
+                rho2 = jnp.clip(cc / (mo * mo + 1e-8) - bb, 0.09, 16.0)
+                theta = idx.astype(jnp.float32) * (6.0 * math.pi / 180.0)
 
             ct = jnp.cos(-theta)
             st = jnp.sin(-theta)
@@ -353,30 +386,55 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
             # image dtype (bf16 serving pipelines keep the MXU at bf16);
             # spectra/phases stay f32.
             dt = ts_ref.dtype
-            vm = _band_operator(cp, inv, h, dt)
+            if "staticvm" in ablate:  # cost-probing only: hoistable build
+                vm = _band_operator(jnp.float32(0.5), jnp.float32(0.4), h,
+                                    dt)
+            else:
+                vm = _band_operator(cp, inv, h, dt)
 
-            def vconv(u):
-                return jax.lax.dot(
-                    vm, u.astype(dt),
-                    preferred_element_type=jnp.float32)
+            if "novconv" in ablate:  # cost-probing only
+                def vconv(u):
+                    return u
+            else:
+                def vconv(u):
+                    return jax.lax.dot(
+                        vm, u.astype(dt),
+                        preferred_element_type=jnp.float32)
 
-            cf, sfm, ai, bi = dft
-            mdt = cf.dtype
-            ca, sa = _spec_phase(s, h, wc)
-            ghx = _tap_spectrum_k(a_eff, inx, wc, _HALF)
+            fwd, invm = dft
+            mdt = fwd.dtype
+            kp = fwd.shape[1] // 2
+            if "staticphase" in ablate:  # cost-probing only
+                ca, sa = _spec_phase(jnp.float32(0.25), h, wc, n_k=kp)
+                ghx = _tap_spectrum_k(jnp.float32(0.5), jnp.float32(0.4),
+                                      wc, _HALF, n_k=kp)
+            else:
+                ca, sa = _spec_phase(s, h, wc, n_k=kp)
+                ghx = _tap_spectrum_k(a_eff, inx, wc, _HALF, n_k=kp)
+            # packed (re | im) layout helpers: full-width phase/tap rows
+            # and the aligned half-swap (kp is a multiple of 128)
+            ca2 = jnp.concatenate([ca, ca], axis=1)          # (h, 2kp)
+            sb2 = jnp.concatenate([-sa, sa], axis=1)         # forward rot
+            sb2r = jnp.concatenate([sa, -sa], axis=1)        # conjugate rot
+            gh2 = jnp.concatenate([ghx, ghx], axis=1)        # (1, 2kp)
 
-            def rfft_x(u):
-                reu = jax.lax.dot(u.astype(mdt), cf,
-                                  preferred_element_type=jnp.float32)
-                imu = -jax.lax.dot(u.astype(mdt), sfm,
-                                   preferred_element_type=jnp.float32)
-                return reu, imu
+            def swap(u2):
+                return jnp.concatenate([u2[:, kp:], u2[:, :kp]], axis=1)
 
-            def irfft_x(reu, imu):
-                return (jax.lax.dot(reu.astype(mdt), ai,
-                                    preferred_element_type=jnp.float32)
-                        + jax.lax.dot(imu.astype(mdt), bi,
-                                      preferred_element_type=jnp.float32))
+            if "nodft" in ablate:  # cost-probing only: pad stand-ins
+                def rfft_packed(u):
+                    return jnp.pad(u, ((0, 0), (0, 2 * kp - wc)))
+
+                def irfft_packed(z2):
+                    return z2[:, :wc]
+            else:
+                def rfft_packed(u):
+                    return jax.lax.dot(u.astype(mdt), fwd,
+                                       preferred_element_type=jnp.float32)
+
+                def irfft_packed(z2):
+                    return jax.lax.dot(z2.astype(mdt), invm,
+                                       preferred_element_type=jnp.float32)
 
             for ch in range(csz):
                 xin_f = ts_ref[ch].astype(jnp.float32)
@@ -390,6 +448,12 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
                     noise = xin_f - smooth
                     xin_f = smooth
 
+                if "nodeconv" in ablate:  # cost-probing only
+                    o = jnp.clip(xin_f, 0.0, 1.0)
+                    if prefilter is not None:
+                        o = jnp.clip(o + noise, 0.0, 1.0)
+                    ts_ref[ch] = o.astype(dt)
+                    continue
                 # working frame: conditional spatial transpose (square)
                 work = jnp.where(use_col, xin_f.T, xin_f) if orient else xin_f
                 xp = _replicate_pad2d(work, _HALF)  # (h, w_in)
@@ -401,29 +465,26 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
                     # u <- alpha u + (1 - alpha) K u, 3 times; K is the
                     # same spectral-x operator as the polynomial
                     for _ in range(3):
-                        reu, imu = rfft_x(xc)
-                        r1 = vconv(reu * ca - imu * sa)
-                        i1 = vconv(reu * sa + imu * ca)
-                        r1 = ghx * r1
-                        i1 = ghx * i1
-                        ku = irfft_x(r1 * ca + i1 * sa, i1 * ca - r1 * sa)
+                        ri2 = rfft_packed(xc)
+                        t2 = vconv(ri2 * ca2 + swap(ri2) * sb2)
+                        y2 = gh2 * t2
+                        ku = irfft_packed(y2 * ca2 + swap(y2) * sb2r)
                         xc = jnp.where(
                             inside, t_alpha * xc + (1.0 - t_alpha) * ku, xc)
 
                 # p(K)u = beta u + irfft(Ghat conj(ph)
                 #         [a1 + V Ghat a2 + (V Ghat)^2 a3](V(ph rfft(u))))
-                reu, imu = rfft_x(xc)
-                tr = vconv(reu * ca - imu * sa)
-                ti = vconv(reu * sa + imu * ca)
-                rr = a3 * tr
-                ri = a3 * ti
-                rr = a2 * tr + vconv(ghx * rr)
-                ri = a2 * ti + vconv(ghx * ri)
-                rr = a1 * tr + vconv(ghx * rr)
-                ri = a1 * ti + vconv(ghx * ri)
+                # in the packed (re | im) layout: one matmul per transform
+                # and per V application (aligned half-swaps realise the
+                # complex rotations)
+                ri2 = rfft_packed(xc)
+                t2 = vconv(ri2 * ca2 + swap(ri2) * sb2)
+                r2 = a3 * t2
+                r2 = a2 * t2 + vconv(gh2 * r2)
+                r2 = a1 * t2 + vconv(gh2 * r2)
+                y2 = gh2 * r2
                 o_full = beta * xc \
-                    + irfft_x(ghx * (rr * ca + ri * sa),
-                              ghx * (ri * ca - rr * sa))
+                    + irfft_packed(y2 * ca2 + swap(y2) * sb2r)
                 o = o_full[_HALF:h - _HALF,
                            pad_l + _HALF:pad_l + _HALF + wt]
                 if orient:
@@ -469,8 +530,8 @@ def _fused_call(x, coeffs, n_iter, margin, do_taper=False, do_halo=False,
     w_rows = np.zeros((8, 128), np.float32)
     w_rows[:_NA + 1, :_NI] = _interp_weights_np().T
     wc = ((wt + 2 * _HALF + 2 * margin + 7) // 8) * 8
-    K = wc // 2 + 1
-    cf, sf, ai, bi = _dft_operands(wc, x.dtype)
+    kp2 = 2 * _packed_k(wc)
+    fwd, inv = _dft_operands_packed(wc, x.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t,),
@@ -479,10 +540,8 @@ def _fused_call(x, coeffs, n_iter, margin, do_taper=False, do_halo=False,
             pl.BlockSpec((wt, wt), lambda i, *_: (0, 0)),
             pl.BlockSpec((ht, ht), lambda i, *_: (0, 0)),
             pl.BlockSpec((8, 128), lambda i, *_: (0, 0)),
-            pl.BlockSpec((wc, K), lambda i, *_: (0, 0)),
-            pl.BlockSpec((wc, K), lambda i, *_: (0, 0)),
-            pl.BlockSpec((K, wc), lambda i, *_: (0, 0)),
-            pl.BlockSpec((K, wc), lambda i, *_: (0, 0)),
+            pl.BlockSpec((wc, kp2), lambda i, *_: (0, 0)),
+            pl.BlockSpec((kp2, wc), lambda i, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, c, ht, wt), lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((c, ht, wt), x.dtype)],
@@ -496,7 +555,7 @@ def _fused_call(x, coeffs, n_iter, margin, do_taper=False, do_halo=False,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(coeffs.astype(jnp.float32), x, dw, dh, jnp.asarray(w_rows),
-      cf, sf, ai, bi)
+      fwd, inv)
 
 
 def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
@@ -531,8 +590,8 @@ def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
     w_rows = np.zeros((8, 128), np.float32)
     w_rows[:_NA + 1, :_NI] = _interp_weights_np().T
     wc = ((pw + 2 * _HALF + 2 * margin + 7) // 8) * 8
-    K = wc // 2 + 1
-    cf, sf, ai, bi = _dft_operands(wc, padded.dtype)
+    kp2 = 2 * _packed_k(wc)
+    fwd, inv = _dft_operands_packed(wc, padded.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
@@ -541,10 +600,8 @@ def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
             pl.BlockSpec((pw, pw), lambda i, *_: (0, 0)),
             pl.BlockSpec((ph, ph), lambda i, *_: (0, 0)),
             pl.BlockSpec((8, 128), lambda i, *_: (0, 0)),
-            pl.BlockSpec((wc, K), lambda i, *_: (0, 0)),
-            pl.BlockSpec((wc, K), lambda i, *_: (0, 0)),
-            pl.BlockSpec((K, wc), lambda i, *_: (0, 0)),
-            pl.BlockSpec((K, wc), lambda i, *_: (0, 0)),
+            pl.BlockSpec((wc, kp2), lambda i, *_: (0, 0)),
+            pl.BlockSpec((kp2, wc), lambda i, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, c, ph, pw), lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((c, ph, pw), padded.dtype),
@@ -561,7 +618,7 @@ def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(coeffs.astype(jnp.float32), padded, dw, dh, jnp.asarray(w_rows),
-      cf, sf, ai, bi)
+      fwd, inv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))

@@ -81,14 +81,16 @@ def _dft_operands(wc: int, dtype):
     return tuple(jnp.asarray(m, mdt) for m in _dft_mats_np(wc))
 
 
-def _spec_phase(s, h, wc):
+def _spec_phase(s, h, wc, n_k=None):
     """(cos, sin) of the per-row ideal-shift phase ramp
     ``e^{i 2 pi d_y k / wc}`` with d_y = s (y - yc); each (h, K).
     The integer part of d_y * k is reduced mod wc in exact int32 before
-    the trig (no large-argument precision loss)."""
+    the trig (no large-argument precision loss). ``n_k`` overrides the
+    lane count (lane-padded packed-operand layouts; the extra columns
+    multiply spectra that are structurally zero)."""
     import math
 
-    K = wc // 2 + 1
+    K = n_k or (wc // 2 + 1)
     karr = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     karr_f = karr.astype(jnp.float32)
     yc = (h - 1) / 2.0
@@ -101,12 +103,13 @@ def _spec_phase(s, h, wc):
     return jnp.cos(ang), jnp.sin(ang)
 
 
-def _tap_spectrum_k(coef, inv_norm, wc, half):
+def _tap_spectrum_k(coef, inv_norm, wc, half, n_k=None):
     """(1, K) cosine spectrum of the L1-normalized 2*half+1 Gaussian taps
-    from per-tile scalars (matches ops.sep_poly._tap_spectrum)."""
+    from per-tile scalars (matches ops.sep_poly._tap_spectrum). ``n_k``
+    overrides the lane count (see _spec_phase)."""
     import math
 
-    K = wc // 2 + 1
+    K = n_k or (wc // 2 + 1)
     karr_f = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1).astype(jnp.float32)
     gh = jnp.zeros((1, K), jnp.float32)
     for j in range(-half, half + 1):

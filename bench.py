@@ -89,12 +89,13 @@ def main():
     # compute, so steady-state chip throughput is the device kernel time —
     # the same rationale as the reference's timed region excluding I/O
     # (main.py:122-128).
-    # 448px tiles at 1/7 overlap: 64px seams (>= 2x the 25-tap kernel
-    # support) cut tile redundancy to 1.36x vs 1.78x at the reference's
-    # 400px/25% default with equal restoration quality (both tilings agree
+    # 576px tiles at step 512: statically (8, 128)-aligned steps (the DMA
+    # route skips its de-offset), 64px seams (>= 2x the 25-tap kernel
+    # support), tile redundancy 1.27x vs 1.78x at the reference's
+    # 400px/25% default, equal restoration quality (both tilings agree
     # with the whole-image fft oracle at ~40 dB; bench_suite keeps a
     # reference-default-grid row as config 4b).
-    grid = plan_patch_grid(h, w, patch_size=448, overlap=1.0 / 7.0)
+    grid = plan_patch_grid(h, w, patch_size=576, overlap=64.0 / 576.0)
     tiles = extract_patches(jnp.asarray(img), grid).astype(jnp.bfloat16)
     tiles = jax.device_put(tiles)
 

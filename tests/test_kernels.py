@@ -549,6 +549,34 @@ def test_image_fused_dma_matches_tiles_fused():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), flags
 
 
+def test_image_fused_statically_aligned_grid_matches_tiles_fused():
+    """Grids whose steps are statically (8, 128)-aligned take the
+    no-de-offset DMA specialization (tight window, no rolls) — must stay
+    bit-identical to the tiles kernel. Step 128 here (256px tiles at 50%
+    overlap)."""
+    from polyblur_tpu.ops.pallas.polyblur_fused import (
+        polyblur_image_fused, polyblur_tiles_fused)
+    from polyblur_tpu.patches import (plan_patch_grid, extract_patches,
+                                      _grid_steps)
+    from polyblur_tpu.pipeline import _mega_pack
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(size=(1, 2, 300, 330)).astype(np.float32))
+    g = plan_patch_grid(300, 330, 256, 0.5)
+    th, tw, sh, sw = _grid_steps(g)
+    assert sh % 8 == 0 and sw % 128 == 0  # the specialization must engage
+    ph, pw = g.patch_size
+    pt, pb, pl_, pr = g.pad
+    padded = jnp.pad(img[..., :g.orig_size[0], :g.orig_size[1]],
+                     ((0, 0), (0, 0), (pt, pb), (pl_, pr)), mode="edge")
+    tiles = extract_patches(img, g)
+    coeffs, margin = _mega_pack(0.362, 0.468, 6.0, 1.0, 2.0, 0.4)
+    a = polyblur_tiles_fused(tiles, coeffs, 2, margin, interpret=True)
+    b = polyblur_image_fused(padded, coeffs, 2, margin,
+                             (th, tw, sh, sw, ph, pw), interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_image_fused_gradient_via_ref_pipeline():
     """custom_vjp of the image-input mega kernel: gradients flow to the
     padded canvas and the traced coefficients, finite and nonzero."""

@@ -119,7 +119,7 @@ from .bilateral import _replicate_pad2d, bilateral_block as _bilateral5
 
 def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
                  do_halo: bool = False, prefilter=None, dma_grid=None,
-                 ablate=()):
+                 ablate=(), out_pad: int = 0):
     """``dma_grid=(B, Tw, step_h, step_w)`` switches the kernel to image
     input: the tile is DMA'd from the padded canvas in HBM at the grid
     offsets of this program instead of arriving as a pre-extracted block
@@ -132,6 +132,7 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
             bsz, t_w, step_h, step_w = dma_grid
             xt_ref, sem = dma_scratch
             _, c, ht, wt = out_ref.shape
+            wt -= out_pad  # logical tile width (output may be lane-padded)
             # Mosaic DMA slices must be layout-aligned, but the tile grid
             # need not be: DMA the (8, 128)-ALIGNED ENCLOSING window of the
             # tile (one extra layout tile per axis; the canvas is padded to
@@ -523,7 +524,15 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
         if dma_grid is None:
             ts_ref[...] = x_ref[0]
         jax.lax.fori_loop(0, n_iter, iteration, 0)
-        out_ref[0] = ts_ref[...]
+        if out_pad:
+            # lane-padded output (for the fused overlap-add consumer):
+            # write the tile into the leading columns, zero the pad
+            _, c_, ht_, wt_ = out_ref.shape
+            out_ref[0, :, :, :wt_ - out_pad] = ts_ref[...]
+            out_ref[0, :, :, wt_ - out_pad:] = jnp.zeros(
+                (c_, ht_, out_pad), out_ref.dtype)
+        else:
+            out_ref[0] = ts_ref[...]
 
     return kernel
 
@@ -565,15 +574,20 @@ def _fused_call(x, coeffs, n_iter, margin, do_taper=False, do_halo=False,
 
 
 def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
-                do_halo=False, prefilter=None, interpret=False):
+                do_halo=False, prefilter=None, interpret=False,
+                pad_lanes=False):
     """Mega-kernel over tiles cut in-kernel from the padded canvas.
 
     :param padded: (B, C, Hp, Wp) canvas (already replicate-padded to the
         tile grid); the extract_patches tile tensor never materializes —
         each program DMAs its own (C, th, tw) window from HBM.
     :param grid_info: static (th_tiles, tw_tiles, step_h, step_w, ph, pw)
-    :returns: (T*B, C, ph, pw) restored tile batch (T outer, B inner —
-        the extract_patches layout)
+    :param pad_lanes: emit (T*B, C, ph, roundup(pw, 128)) tiles (pad
+        columns zeroed) so the fused overlap-add can DMA lane-aligned
+        column spans — zero extra physical HBM traffic (every buffer is
+        already lane-padded to 128)
+    :returns: (T*B, C, ph, pw[_pad]) restored tile batch (T outer, B
+        inner — the extract_patches layout)
     """
     b, c, _, _ = padded.shape
     t_h, t_w, step_h, step_w, ph, pw = grid_info
@@ -600,6 +614,7 @@ def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
     wc = ((pw + 2 * _HALF + 2 * margin + 7) // 8) * 8
     kp2 = 2 * _packed_k(wc)
     fwd, inv = _dft_operands_packed(wc, padded.dtype)
+    pw_out = -(-pw // 128) * 128 if pad_lanes else pw
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
@@ -611,7 +626,8 @@ def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
             pl.BlockSpec((wc, kp2), lambda i, *_: (0, 0)),
             pl.BlockSpec((kp2, wc), lambda i, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, c, ph, pw), lambda i, *_: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, c, ph, pw_out),
+                               lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((c, ph, pw), padded.dtype),
                         pltpu.VMEM((c, hs, ws), padded.dtype),
                         pltpu.SemaphoreType.DMA],
@@ -619,9 +635,10 @@ def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
     return pl.pallas_call(
         _make_kernel(n_iter, margin, c, do_taper=do_taper, do_halo=do_halo,
                      prefilter=prefilter,
-                     dma_grid=(b, t_w, step_h, step_w)),
+                     dma_grid=(b, t_w, step_h, step_w),
+                     out_pad=pw_out - pw),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, c, ph, pw), padded.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, c, ph, pw_out), padded.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -629,15 +646,17 @@ def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
       fwd, inv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def polyblur_image_fused(padded, coeffs, n_iter, margin, grid_info,
                          do_taper=False, do_halo=False, prefilter=None,
-                         interpret=False):
+                         interpret=False, pad_lanes=False):
     """Image-input mega kernel (see :func:`_image_call`); differentiable
     via the composed extract + XLA reference pipeline."""
     return _image_call(padded, coeffs, n_iter, margin, grid_info,
                        do_taper=do_taper, do_halo=do_halo,
-                       prefilter=prefilter, interpret=interpret)
+                       prefilter=prefilter, interpret=interpret,
+                       pad_lanes=pad_lanes)
 
 
 def _ref_image_pipeline(padded, coeffs, n_iter, grid_info, do_taper,
@@ -653,21 +672,23 @@ def _ref_image_pipeline(padded, coeffs, n_iter, grid_info, do_taper,
 
 
 def _img_fwd(padded, coeffs, n_iter, margin, grid_info, do_taper, do_halo,
-             prefilter, interpret):
+             prefilter, interpret, pad_lanes):
     out = _image_call(padded, coeffs, n_iter, margin, grid_info,
                       do_taper=do_taper, do_halo=do_halo,
-                      prefilter=prefilter, interpret=interpret)
+                      prefilter=prefilter, interpret=interpret,
+                      pad_lanes=pad_lanes)
     return out, (padded, coeffs)
 
 
 def _img_bwd(n_iter, margin, grid_info, do_taper, do_halo, prefilter,
-             interpret, res, g):
+             interpret, pad_lanes, res, g):
     padded, coeffs = res
+    pw = grid_info[5]
     _, vjp = jax.vjp(
         lambda x_, c_: _ref_image_pipeline(x_, c_, n_iter, grid_info,
                                            do_taper, do_halo, prefilter),
         padded, coeffs)
-    return vjp(g)
+    return vjp(g[..., :pw])
 
 
 polyblur_image_fused.defvjp(_img_fwd, _img_bwd)

@@ -127,14 +127,16 @@ def mega_restore_padded(padded: jnp.ndarray, grid_info, n_iter: int = 1,
                         discard_saturation: bool = False,
                         multichannel_kernel: bool = False,
                         method: str = "fft", smoother: str = "bilateral",
-                        remat: bool = False, _disable_mega: bool = False):
+                        remat: bool = False, _disable_mega: bool = False,
+                        pad_lanes: bool = False):
     """Image-input mega kernel over a pre-padded tile canvas, or None.
 
     The patch engine's fully-fused route: each Pallas program DMAs its own
     tile window straight out of the canvas in HBM — the extracted tile
     tensor never exists. ``grid_info`` is the static
     (th, tw, step_h, step_w, ph, pw) plan. Returns the restored (T*B, C,
-    ph, pw) tile batch (extract_patches layout) for overlap-add, or None
+    ph, pw) tile batch (extract_patches layout; lane-padded to 128 when
+    ``pad_lanes`` — for the fused overlap-add) for overlap-add, or None
     when the configuration is ineligible (caller falls back to
     extract + polyblur_core).
     """
@@ -160,7 +162,8 @@ def mega_restore_padded(padded: jnp.ndarray, grid_info, n_iter: int = 1,
     with jax.named_scope("polyblur.mega_image_dma"):
         return polyblur_image_fused(padded, coeffs, n_iter, margin,
                                     grid_info, do_taper=edgetaping,
-                                    do_halo=remove_halo, prefilter=prefilter)
+                                    do_halo=remove_halo, prefilter=prefilter,
+                                    pad_lanes=pad_lanes)
 
 
 def edge_aware_filtering(img: jnp.ndarray, sigma_s, sigma_r,

@@ -152,3 +152,104 @@ def test_irregular_grid_fallback():
     rec = overlap_add(tiles, g, 1)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(img),
                                atol=1e-5, rtol=0)
+
+
+def test_fused_overlap_add_interpret_parity():
+    """The Pallas overlap-add (interpret mode) matches the XLA join on an
+    aligned grid, including lane-padded producer tiles and the no-overlap
+    case."""
+    from polyblur_tpu.patches import _grid_steps
+    from polyblur_tpu.utils.imaging import build_window_np
+    from polyblur_tpu.ops.pallas.overlap_add import overlap_add_fused
+
+    rng = np.random.default_rng(3)
+    for (h, w, ps, ov, b) in [(1200, 1100, 576, 1 - 512 / 576.0, 1),
+                              (900, 900, 512, 0.0, 2)]:
+        g = plan_patch_grid(h, w, ps, ov)
+        th, tw, sh, sw = _grid_steps(g)
+        ph, pw = g.patch_size
+        T = len(g.coords)
+        tiles = jnp.asarray(
+            rng.uniform(size=(T * b, 3, ph, pw)).astype(np.float32))
+        ref = overlap_add(tiles, g, b)  # CPU -> XLA join
+        pw_pad = -(-pw // 128) * 128
+        tiles_in = jnp.pad(
+            tiles, ((0, 0), (0, 0), (0, 0), (0, pw_pad - pw)))
+        window_np = build_window_np((ph, pw))
+        H, W = g.padded_size
+        wsum = np.zeros((H, W), np.float64)
+        for (i0, j0) in g.coords:
+            wsum[i0:i0 + ph, j0:j0 + pw] += window_np
+        inv = jnp.asarray(1.0 / (wsum + 1e-8), jnp.float32)
+        out = overlap_add_fused(tiles_in, jnp.asarray(window_np), inv,
+                                (th, tw, sh, sw, ph, pw), b,
+                                interpret=True)
+        pt_, pb_, pl_, pr_ = g.pad
+        hh, ww = g.orig_size
+        out = out[..., pt_:pt_ + hh, pl_:pl_ + ww]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=0)
+
+
+def test_fused_overlap_add_gate():
+    """Eligibility: aligned grids with a wide-enough tile batch only."""
+    from polyblur_tpu.patches import _fused_oa_ok
+
+    # CPU backend in tests -> always False through the public gate
+    assert not _fused_oa_ok((7, 7, 512, 512), (576, 576), 640)
+    import unittest.mock as mock
+    import jax as _jax
+    with mock.patch.object(_jax, "default_backend", lambda: "tpu"):
+        assert _fused_oa_ok((7, 7, 512, 512), (576, 576), 640)
+        # not lane-padded and overlap 64 not a lane multiple
+        assert not _fused_oa_ok((7, 7, 512, 512), (576, 576), 576)
+        # unaligned step
+        assert not _fused_oa_ok((7, 7, 300, 300), (400, 400), 512)
+        assert not _fused_oa_ok((7, 7, 512, 300), (576, 400), 512)
+        # no column overlap: plain width is enough
+        assert _fused_oa_ok((7, 7, 512, 512), (512, 512), 512)
+        # irregular grid
+        assert not _fused_oa_ok(None, (576, 576), 640)
+
+
+def test_mega_image_pad_lanes_interpret_parity():
+    """pad_lanes output: leading columns bit-match the unpadded kernel,
+    pad columns are zero, gradients agree."""
+    import jax
+    from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_image_fused
+    from polyblur_tpu.pipeline import _mega_pack
+
+    rng = np.random.default_rng(5)
+    grid_info = (2, 2, 32, 32, 48, 48)
+    th, tw, sh, sw, ph, pw = grid_info
+    Hp, Wp = (th - 1) * sh + ph, (tw - 1) * sw + pw
+    x = jnp.asarray(rng.uniform(size=(1, 3, Hp, Wp)).astype(np.float32))
+    coeffs, margin = _mega_pack(0.362, 0.468, 6.0, 1.0, 2.0, 0.8, tile_w=pw)
+    out0 = polyblur_image_fused(x, coeffs, 1, margin, grid_info,
+                                interpret=True)
+    out1 = polyblur_image_fused(x, coeffs, 1, margin, grid_info,
+                                interpret=True, pad_lanes=True)
+    assert out1.shape == out0.shape[:-1] + (128,)
+    np.testing.assert_array_equal(np.asarray(out1[..., :pw]),
+                                  np.asarray(out0))
+    assert np.all(np.asarray(out1[..., pw:]) == 0.0)
+    g0 = jax.grad(lambda v: jnp.sum(polyblur_image_fused(
+        v, coeffs, 1, margin, grid_info, interpret=True)))(x)
+    g1 = jax.grad(lambda v: jnp.sum(polyblur_image_fused(
+        v, coeffs, 1, margin, grid_info, interpret=True,
+        pad_lanes=True)))(x)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+def test_overlap_add_drops_producer_lane_padding():
+    """The XLA join slices away lane padding a producer may have added."""
+    rng = np.random.default_rng(11)
+    g = plan_patch_grid(80, 200, 48, 1 - 32 / 48.0)
+    ph, pw = g.patch_size
+    T = len(g.coords)
+    tiles = jnp.asarray(
+        rng.uniform(size=(T, 1, ph, pw)).astype(np.float32))
+    padded = jnp.pad(tiles, ((0, 0), (0, 0), (0, 0), (0, 128 - pw)))
+    a = overlap_add(tiles, g, 1)
+    b = overlap_add(padded, g, 1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

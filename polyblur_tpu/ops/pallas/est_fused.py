@@ -96,6 +96,8 @@ def directional_maxima_pallas(img: jnp.ndarray, n_angles: int = 6,
         _make_kernel(n_angles, c),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(img, dw, dh)
     return out[:, :n_out, 0]

@@ -218,3 +218,63 @@ def test_unaligned_dma_grid_routes_and_matches_on_tpu(peacock_x):
     b = deblur_patches(peacock_x, patch_size=400, overlap=0.25,
                        batch_size=1, **kw)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_overlap_add_routes_and_matches_on_tpu(peacock_x):
+    """The aligned 576/512 grid must take the fused Pallas overlap-add
+    (lane-padded mega output) and agree with the XLA join on the same
+    restored tiles."""
+    from polyblur_tpu.patches import (plan_patch_grid, _grid_steps,
+                                      overlap_add, deblur_patches)
+    from polyblur_tpu.pipeline import mega_restore_padded
+    from polyblur_tpu.utils.profiling import dispatch_log, reset_dispatch_log
+
+    kw = dict(n_iter=2, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+              method="direct_separable")
+    ps, ov = 576, 1.0 - 512.0 / 576.0
+    reset_dispatch_log()
+    out = deblur_patches(peacock_x, patch_size=ps, overlap=ov, **kw)
+    log = dispatch_log()
+    assert ("deblur_patches", "mega_image_dma") in log
+    assert ("overlap_add", "pallas_fused") in log
+
+    # same restored tiles through both blends must agree to float rounding
+    h, w = peacock_x.shape[-2:]
+    grid = plan_patch_grid(h, w, ps, ov)
+    th, tw, sh, sw = _grid_steps(grid)
+    ph, pw = grid.patch_size
+    pt_, pb_, pl_, pr_ = grid.pad
+    padded = jnp.pad(peacock_x[..., :grid.orig_size[0], :grid.orig_size[1]],
+                     ((0, 0), (0, 0), (pt_, pb_), (pl_, pr_)), mode="edge")
+    tiles = mega_restore_padded(padded, (th, tw, sh, sw, ph, pw),
+                                pad_lanes=True, **kw)
+    assert tiles.shape[-1] == 640  # lane-padded producer
+    a = overlap_add(tiles, grid, 1)                # pallas_fused (gate on)
+    b = overlap_add(tiles[..., :pw], grid, 1)      # force the XLA join
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6,
+                               rtol=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(a), atol=2e-6,
+                               rtol=0)
+
+
+def test_fused_estimation_dispatches_at_640_on_tpu():
+    """The fused estimation reduction cap matches the mega envelope
+    (640px, VERDICT r2 weak #7) and agrees with the XLA chain."""
+    from polyblur_tpu.estimation import _mags_fast, _mags_xla
+    from polyblur_tpu.utils.profiling import dispatch_log, reset_dispatch_log
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(2, 3, 640, 640)).astype(np.float32))
+    reset_dispatch_log()
+    fast = _mags_fast(x, 6)
+    assert ("directional_maxima", "pallas_fused") in dispatch_log()
+    ref = _mags_xla(x, 6)
+    # MXU-default vs HIGHEST dot precision (documented in est_fused):
+    # a few 1e-2 relative on the raw maxima, +0.001 dB end-to-end
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=5e-2, atol=1e-4)
+    # above the cap: XLA chain
+    big = jnp.asarray(rng.uniform(size=(1, 1, 648, 648)).astype(np.float32))
+    reset_dispatch_log()
+    _mags_fast(big, 6)
+    assert ("directional_maxima", "xla") in dispatch_log()

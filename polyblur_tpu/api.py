@@ -13,6 +13,7 @@ whole pipeline is differentiable (use ``jax.grad`` straight through it).
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import numpy as np
@@ -25,11 +26,60 @@ from .utils.imaging import to_tensor, to_array
 
 __all__ = ["polyblur_deblurring", "PolyblurDeblurring"]
 
-#: Above this edge length, ``method='auto'`` engages the overlapping-patch
-#: engine on TPU (whole images past the mega-kernel envelope would
-#: otherwise run the slower blocked route, and per-tile estimation is the
-#: reference's own large-image mode, deblurring.py:269-340).
-_AUTO_TILE_EDGE = 700
+#: Candidate (patch, step) grids for ``method='auto'`` tiling, all with
+#: statically (8, 128)-aligned steps (no-de-offset DMA + fused overlap-add)
+#: and 64px seams >= 2x the 25-tap kernel support. 576/512 has the lowest
+#: redundancy (1.27x) on large images; the smaller grids avoid the padding
+#: cliff for images just past the whole-image envelope (a fixed 576 grid
+#: inflates a 704px image to a 1088px canvas — 2.7x the pixels).
+_TILE_CANDIDATES = ((576, 512), (448, 384), (320, 256))
+
+#: Per-pixel cost handicap of the whole-image blocked route relative to the
+#: tiled mega kernel (measured ~2x kernel rate, plus apron redundancy).
+_BLOCKED_COST_FACTOR = 2.2
+
+#: ``method='auto'`` keeps whole-image (reference-exact, single global blur
+#: estimate) semantics below this area: the blocked route serves sub-4MP
+#: images at high rate, and per-tile estimation is only clearly the right
+#: trade on genuinely large images (the reference's own patch mode is
+#: opt-in, deblurring.py:251).
+_AUTO_TILE_MIN_AREA = 4_000_000
+
+
+def _auto_tile_wanted(h: int, w: int, cap: int) -> bool:
+    """Whether ``method='auto'`` should consider tiling at all: the image
+    is past the whole-image mega envelope AND either large enough that the
+    tiled mega kernel's ~2x rate advantage dominates, or thin enough that
+    the blocked route's square working frame (max(h, w)^2) would blow up a
+    panorama's cost."""
+    if max(h, w) <= cap:
+        return False
+    if h * w >= _AUTO_TILE_MIN_AREA:
+        return True
+    return max(h, w) > 1280 and max(h, w) >= 2.5 * min(h, w)
+
+
+def _auto_tile_plan(h: int, w: int, cap: int):
+    """(patch_size, overlap) of the cheapest candidate tiling, or None when
+    the whole-image blocked route costs less.
+
+    Cost = number of tiles x tile area (every tile runs the full per-tile
+    pipeline) vs the blocked route's square working frame at its measured
+    kernel-rate handicap. ``cap`` is the mega-kernel tile envelope for the
+    requested feature set (pipeline.mega_tile_cap)."""
+    best = None
+    for p, s in _TILE_CANDIDATES:
+        if p > cap:
+            continue
+        ch = int(math.ceil(max(h - p, 0) / s)) * s + p
+        cw = int(math.ceil(max(w - p, 0) / s)) * s + p
+        n_tiles = ((ch - p) // s + 1) * ((cw - p) // s + 1)
+        cost = n_tiles * p * p
+        if best is None or cost < best[0]:
+            best = (cost, p, s)
+    if best is not None and best[0] < _BLOCKED_COST_FACTOR * max(h, w) ** 2:
+        return best[1], (best[1] - best[2]) / best[1]
+    return None
 
 
 def _resolve_auto(method: str) -> str:
@@ -49,9 +99,14 @@ def _run(img: jnp.ndarray, cfg: PolyblurConfig) -> jnp.ndarray:
 def _run_verbose(img: jnp.ndarray, cfg: PolyblurConfig) -> jnp.ndarray:
     """Per-stage timed execution mirroring the reference's ``verbose``
     prints (deblurring.py:59-90). The loop runs stage-by-stage in Python
-    (identical math to the fused scan — same estimation and deconvolution
-    calls) with a forced device sync after each stage so the deltas are
-    real device times, not dispatch times.
+    with a forced device sync after each stage so the deltas are real
+    device times, not dispatch times.
+
+    The RETURNED pixels are always identical to the ``verbose=False``
+    path: when the normal path dispatches the fused mega kernel (whose
+    output agrees with these composed stages only to ~2e-4), this re-runs
+    it and returns that result — verbose is a debug mode and must never
+    change the answer it is debugging.
     """
     from time import time as _time
 
@@ -98,6 +153,15 @@ def _run_verbose(img: jnp.ndarray, cfg: PolyblurConfig) -> jnp.ndarray:
         impred = jnp.clip(impred, 0.0, 1.0)
         force_execution(impred)
         print("-- deblurring %d:      %1.5f" % (n + 1, _time() - start))
+
+    from .pipeline import _mega_static_ok
+
+    if _mega_static_ok(cfg.method, cfg.remat, cfg.discard_saturation,
+                       cfg.multichannel_kernel, cfg.prefiltering,
+                       cfg.smoother, cfg.q, cfg.ker_size, cfg.n_angles,
+                       cfg.n_interpolated_angles, img.shape[-2],
+                       img.shape[-1]):
+        return _run(img, cfg)  # the fused-kernel result, as verbose=False
     return impred
 
 
@@ -138,17 +202,26 @@ def polyblur_deblurring(img, n_iter: int = 1, c=0.352, b=0.768, alpha=2.0,
     ``(B, C, H, W)`` array in [0, 1]; the return type matches the input.
 
     On TPU, ``method='auto'`` additionally engages the overlapping-patch
-    engine (the reference's large-image mode, deblurring.py:269-340; here
-    on the TPU-efficient 576px/step-512 grid) for images larger than
-    ~700px. NOTE the
-    semantics change that comes with it, exactly as in the reference's
+    engine (the reference's large-image mode, deblurring.py:269-340) for
+    genuinely large images (>= ~4MP, or thin panoramas whose square
+    working frame would blow up the whole-image route), picking the
+    cheapest of the TPU-aligned candidate grids (576/512, 448/384,
+    320/256) for the image's size. Everything smaller — including the
+    reference's 700px demo — keeps reference-exact whole-image semantics
+    (one global blur estimate) on the fused/blocked routes. NOTE the
+    semantics change that comes with tiling, exactly as in the reference's
     patch mode: the blur is then estimated per tile, which doubles as
     spatially-varying-blur handling. Explicit ``method=`` values always
-    run whole-image.
+    run whole-image. Output shape always matches the input
+    (odd sizes are edge-padded to even around the patch engine, unlike the
+    reference module's even-crop).
 
     ``verbose`` prints the reference's per-stage timing lines
-    (deblurring.py:59-90) with forced device syncs between stages; the
-    stage-split run is mathematically identical to the fused one.
+    (deblurring.py:59-90) with forced device syncs between stages. The
+    timings are measured on the composed per-stage pipeline; the returned
+    pixels are always those of the ``verbose=False`` path (when the fused
+    mega kernel serves that path, its output — which agrees with the
+    composed stages to ~2e-4 — is what is returned).
     """
     x, was_numpy = _adapt_in(img)
     resolved = _resolve_auto(method)
@@ -161,32 +234,40 @@ def polyblur_deblurring(img, n_iter: int = 1, c=0.352, b=0.768, alpha=2.0,
         multichannel_kernel=multichannel_kernel, method=resolved)
     import jax
 
-    auto_tile = (method == "auto" and jax.default_backend() == "tpu"
-                 and max(x.shape[-2:]) > _AUTO_TILE_EDGE)
-    if auto_tile:
+    h, w = x.shape[-2:]
+    plan = None
+    if method == "auto" and jax.default_backend() == "tpu":
+        from .pipeline import mega_tile_cap
+
+        cap = mega_tile_cap(prefiltering, cfg.smoother)
+        if _auto_tile_wanted(h, w, cap):
+            plan = _auto_tile_plan(h, w, cap)
+    if plan is not None:
         from .utils.profiling import record_dispatch
 
-        record_dispatch("polyblur_deblurring", "auto_tiled")
-        # 576px tiles at step 512: the most efficient mega-kernel grid —
-        # statically (8, 128)-aligned steps (no-de-offset DMA), 1.27x tile
-        # redundancy (vs 1.78x at the reference-default 400/25%), 64px
-        # seams >= 2x the 25-tap kernel support, and 576 fits the plain
-        # mega VMEM envelope. Same ~40 dB whole-image-oracle agreement as
-        # the reference-default grid.
-        _ats, _ato = 576, 64.0 / 576.0
+        record_dispatch("polyblur_deblurring", f"auto_tiled/{plan[0]}")
+        # The patch engine even-crops (reference deblurring.py:273-279);
+        # edge-pad odd axes by one first so the output shape matches the
+        # input (the functional API's contract, unlike the module's
+        # reference-parity even-crop).
+        xe = x
+        if h % 2 or w % 2:
+            xe = jnp.pad(x, ((0, 0), (0, 0), (0, h % 2), (0, w % 2)),
+                         mode="edge")
         if verbose:
             from .utils.profiling import stage_timer, force_execution
 
             with stage_timer("polyblur_deblurring (auto-tiled, incl. any "
                              "compile)"):
-                out = deblur_patches(x, patch_size=_ats, overlap=_ato,
+                out = deblur_patches(xe, patch_size=plan[0], overlap=plan[1],
                                      batch_size=0, **cfg.traced_kwargs(),
                                      **cfg.static_kwargs())
                 force_execution(out)
         else:
-            out = deblur_patches(x, patch_size=_ats, overlap=_ato,
+            out = deblur_patches(xe, patch_size=plan[0], overlap=plan[1],
                                  batch_size=0, **cfg.traced_kwargs(),
                                  **cfg.static_kwargs())
+        out = out[..., :h, :w]
     elif verbose:
         out = _run_verbose(x, cfg)
     else:

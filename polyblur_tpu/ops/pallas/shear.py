@@ -12,7 +12,8 @@ loops and no gathers:
     out = interp tail over static rolls       # fractional part
 
 The fractional tail is a Lanczos-3 blend (6 static rolls). (The exact
-conv+shear fold is spectral — see sep_poly_fused._spec_fold — so it has
+conv+shear fold is spectral — see sep_poly_fused._spec_phase /
+_tap_spectrum_k, which build it from in-VMEM DFT matmuls — so it has
 no roll kernel here.)
 
 This is the TPU-native replacement for the per-pixel bilinear sampling

@@ -36,9 +36,11 @@ Two interpolators:
   sampling a Gaussian-smoothed row at a fractional offset equals convolving
   with the fractionally-shifted Gaussian sampled at integers, so the
   fractional part of the shift folds into the taps analytically and the
-  transform has zero interpolation error. Used for the boundary transform
-  that carries a Gaussian conv (ops/sep_poly.py applies it on the output
-  side of the polynomial chain).
+  transform has zero interpolation error. This is the standalone
+  (single-application) form of the spectral fold;
+  ops/sep_poly.py::_spectral_composition evaluates the same phase-ramp x
+  tap-spectrum product inline for the whole degree-3 chain (one rfft pair
+  total), and tests use this function as its single-fold oracle.
 """
 
 from __future__ import annotations

@@ -45,11 +45,14 @@ def initialize_distributed(coordinator_address: str | None = None,
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
+    if jax.distributed.is_initialized():
+        return True  # already live; initialize() again would raise
     if coordinator_address is None and num_processes is None:
-        # plain single-process run (or TPU-pod auto-detection unavailable)
+        # plain single-process run (or TPU-pod auto-detection unavailable).
+        # NOTE: jax.process_count() is only safe here because no
+        # initialize() follows — it forces backend initialization, after
+        # which jax.distributed.initialize() raises.
         return jax.process_count() > 1
-    if jax.process_count() > 1:
-        return True  # already initialized
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id,
@@ -81,7 +84,7 @@ def make_multihost_mesh(data_axis: int | None = None) -> Mesh:
     n = len(devs)
     if data_axis is None:
         data_axis = n_proc
-    if data_axis % n_proc != 0 and n_proc % data_axis != 0:
+    if data_axis % n_proc != 0:
         raise ValueError(
             f"data_axis={data_axis} incompatible with {n_proc} processes: "
             "a data shard would straddle hosts")

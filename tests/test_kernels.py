@@ -194,8 +194,10 @@ def test_fused_path_eligibility_accounts_for_prepad():
     assert not _fused_path_eligible(700, 400, m, False, backend="tpu")
     assert not _fused_path_eligible(700, 400, m, True, backend="tpu")
     # boundary: fits without prepad but the +2*HALF growth tips it over
-    assert _fused_path_eligible(660, 400, m, False, backend="tpu")
-    assert not _fused_path_eligible(660, 400, m, True, backend="tpu")
+    # (656 + 2*55 = 766 -> 768-lane canvas, the envelope edge at the
+    # fully-safe margin; prepad adds 24 more)
+    assert _fused_path_eligible(656, 400, m, False, backend="tpu")
+    assert not _fused_path_eligible(656, 400, m, True, backend="tpu")
 
 
 def test_sep_poly_prepad_large_image_replicates_edges():

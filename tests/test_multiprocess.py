@@ -24,19 +24,35 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
 jax.config.update("jax_platforms", "cpu")
 pid = int(sys.argv[1])
-jax.distributed.initialize(coordinator_address=sys.argv[2],
-                           num_processes=2, process_id=pid)
+sys.path.insert(0, sys.argv[3])
+
+# Go through the library helper (not jax.distributed.initialize directly):
+# it must work BEFORE any backend touch — the round-3 regression was a
+# jax.process_count() probe inside it that initialized the backend first
+# and made the real initialize() raise.
+os.environ["JAX_COORDINATOR_ADDRESS"] = sys.argv[2]
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = str(pid)
+from polyblur_tpu.parallel.distributed import (initialize_distributed,
+                                               make_multihost_mesh)
+
+assert initialize_distributed() is True
+assert initialize_distributed() is True  # idempotent once live
 assert jax.process_count() == 2, jax.process_count()
 assert jax.device_count() == 4, jax.device_count()
 
 import numpy as np
 import jax.numpy as jnp
-sys.path.insert(0, sys.argv[3])
-from polyblur_tpu.parallel.distributed import make_multihost_mesh
 from polyblur_tpu.parallel.sharding import training_step
 
 mesh = make_multihost_mesh()  # data axis = 2 processes, tile = 2 local
 assert mesh.shape == {"data": 2, "tile": 2}, dict(mesh.shape)
+try:  # a 1-wide data axis would make tile shards straddle hosts
+    make_multihost_mesh(data_axis=1)
+except ValueError:
+    pass
+else:
+    raise AssertionError("data_axis=1 must be rejected with 2 processes")
 
 rng = np.random.default_rng(0)
 host = rng.uniform(size=(4, 1, 32, 32)).astype(np.float32)

@@ -285,3 +285,42 @@ def test_corpus_parity_per_method():
         assert agree > 45.0, (name, agree)
         d = abs(psnr(out_sep[0, 0], sharp) - psnr(tgt[0, 0], sharp))
         assert d < 0.2, (name, d)
+
+
+def test_auto_tile_plan_grid_choice():
+    """method='auto' tiling picks the cheapest aligned grid per size and
+    stays whole-image when the blocked route costs less — no fixed-grid
+    padding cliff just past the whole-image envelope."""
+    from polyblur_tpu.api import _auto_tile_plan, _auto_tile_wanted
+
+    # 12MP: tiling wanted; the low-redundancy 576/512 grid wins
+    assert _auto_tile_wanted(3000, 4000, cap=640)
+    plan = _auto_tile_plan(3000, 4000, cap=640)
+    assert plan is not None and plan[0] == 576
+    assert int(576 * (1 - plan[1])) == 512
+    # small images past the envelope stay whole-image (reference-exact
+    # single global estimate; the blocked route serves them fast) — no
+    # fixed-576-grid padding cliff at 704px
+    assert not _auto_tile_wanted(704, 704, cap=640)
+    assert not _auto_tile_wanted(500, 700, cap=640)   # the peacock demo
+    assert not _auto_tile_wanted(1024, 1400, cap=640)  # 1.4MP
+    # dt-prefilter cap restricts candidates to <= 512
+    plan = _auto_tile_plan(3000, 4000, cap=512)
+    assert plan is not None and plan[0] <= 512
+    # thin panorama: tiling with a small grid beats squaring to
+    # max(h, w)^2 in the blocked route, even below the area threshold
+    assert _auto_tile_wanted(3000, 100, cap=640)
+    plan = _auto_tile_plan(3000, 100, cap=640)
+    assert plan is not None and plan[0] == 320
+
+
+def test_verbose_mega_config_returns_fused_result_shape():
+    """verbose must never change the returned pixels: when the normal path
+    would dispatch the fused mega kernel, _run_verbose re-runs it. On CPU
+    the mega gate is off, so this just pins the equality contract."""
+    rng = np.random.default_rng(21)
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    kw = dict(n_iter=1, alpha=6.0, beta=1.0, method="direct_separable")
+    quiet = pt.polyblur_deblurring(img, **kw)
+    loud = pt.polyblur_deblurring(img, verbose=True, **kw)
+    np.testing.assert_allclose(loud, quiet, atol=1e-6, rtol=0)

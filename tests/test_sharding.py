@@ -153,3 +153,24 @@ def test_multihost_mesh_layout_single_process():
     assert mesh.shape["data"] * mesh.shape["tile"] == len(jax.devices())
     mesh2 = make_multihost_mesh(data_axis=2)
     assert mesh2.shape["data"] == 2
+
+
+def test_multihost_mesh_rejects_host_straddling_data_axis(monkeypatch):
+    """data_axis must be a MULTIPLE of the process count: a narrower axis
+    (e.g. 1 on a 2-process pod) would make the tile axis span hosts and
+    route every seam/reassembly collective over DCN. The old check
+    accepted any divisor of the process count."""
+    import jax
+    from polyblur_tpu.parallel import distributed
+
+    devs = jax.devices()[:8]
+    monkeypatch.setattr(distributed, "process_topology",
+                        lambda: (2, devs))  # pretend 2 processes x 4 local
+    mesh = distributed.make_multihost_mesh()
+    assert dict(mesh.shape) == {"data": 2, "tile": 4}
+    mesh4 = distributed.make_multihost_mesh(data_axis=4)
+    assert dict(mesh4.shape) == {"data": 4, "tile": 2}
+    with pytest.raises(ValueError, match="straddle"):
+        distributed.make_multihost_mesh(data_axis=1)
+    with pytest.raises(ValueError, match="straddle"):
+        distributed.make_multihost_mesh(data_axis=3)

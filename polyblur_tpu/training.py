@@ -18,7 +18,8 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["make_train_step", "fit_layer", "save_params", "load_params"]
+__all__ = ["make_train_step", "fit_layer", "save_params", "load_params",
+           "save_checkpoint", "load_checkpoint"]
 
 
 def save_params(params, path: str) -> None:
@@ -40,6 +41,47 @@ def load_params(path: str):
     with open(path) as f:
         nested = json.load(f)
     return jax.tree.map(jnp.float32, nested)
+
+
+def save_checkpoint(path: str, params, opt_state=None, step=None) -> None:
+    """Full training-state checkpoint via orbax: params + optimizer state +
+    step counter, in one atomic directory.
+
+    :func:`save_params` stays the human-readable scalar snapshot; this is
+    the resume-a-training-run form (optimizer moments are arrays JSON
+    cannot hold faithfully) and is multi-host safe — orbax coordinates the
+    write across `jax.distributed` processes.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    state = {"params": params}
+    if opt_state is not None:
+        state["opt_state"] = opt_state
+    if step is not None:
+        state["step"] = jnp.int32(step)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str, like):
+    """Restore a :func:`save_checkpoint` directory.
+
+    :param like: a pytree with the same structure (and array shapes/dtypes)
+        as what was saved — e.g. ``{"params": params0, "opt_state":
+        optimizer.init(params0), "step": jnp.int32(0)}``. Pass None to
+        restore without a structure template (plain dicts/arrays).
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if like is None:
+        return ckptr.restore(os.path.abspath(path))
+    return ckptr.restore(os.path.abspath(path), like)
 
 
 def _l2(out: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

@@ -2,6 +2,8 @@
 
 import os
 
+import jax
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -275,3 +277,33 @@ def test_params_save_load_roundtrip(tmp_path):
         assert float(a) == float(b)
     out = layer.apply(restored, x)
     assert out.shape == x.shape
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Full training-state checkpoint (params + optimizer state + step)
+    round-trips through orbax — the resume form JSON save_params cannot
+    serve (optimizer moments are arrays)."""
+    import optax
+
+    from polyblur_tpu.layers import PolyblurLayer
+    from polyblur_tpu.training import save_checkpoint, load_checkpoint
+
+    rng = np.random.default_rng(7)
+    blurry = jnp.asarray(rng.uniform(size=(1, 1, 16, 16)).astype(np.float32))
+    layer = PolyblurLayer(n_iter=1, learnable=True, method="fft")
+    params = layer.init(jax.random.PRNGKey(0), blurry)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params, opt_state=opt_state, step=3)
+    like = {"params": params, "opt_state": opt_state,
+            "step": jnp.int32(0)}
+    restored = load_checkpoint(path, like)
+    assert int(restored["step"]) == 3
+    for got, want in zip(jax.tree.leaves(restored["params"]),
+                         jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+    # optimizer state structure survives
+    assert (jax.tree.structure(restored["opt_state"])
+            == jax.tree.structure(opt_state))

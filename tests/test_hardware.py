@@ -57,8 +57,14 @@ def test_mega_kernel_dispatch_and_parity_on_tpu(peacock_x):
 
 
 def test_dma_image_route_bit_matches_tiles_route_on_tpu(peacock_x):
-    """deblur_patches' DMA mega route (aligned grid) must bit-match the
-    extract+tiles route on hardware."""
+    """deblur_patches' DMA mega route (aligned grid) must match the
+    extract+tiles route on hardware.
+
+    The RESTORED TILES are bit-identical between the two routes; the final
+    blends differ in FMA order (the DMA route's lane-padded tiles take the
+    fused Pallas overlap-add, the chunked route's unpadded tiles take the
+    XLA join), so the blended canvases agree to float32 round-off
+    (observed max 1.2e-7, one ulp at the image scale)."""
     from polyblur_tpu.patches import deblur_patches
     from polyblur_tpu.utils.profiling import dispatch_log, reset_dispatch_log
 
@@ -66,11 +72,17 @@ def test_dma_image_route_bit_matches_tiles_route_on_tpu(peacock_x):
               method="direct_separable")
     reset_dispatch_log()
     a = deblur_patches(peacock_x, patch_size=448, overlap=1.0 / 7.0, **kw)
-    assert ("deblur_patches", "mega_image_dma") in dispatch_log()
-    # batch_size forces the chunked tiles route past the DMA guard
+    log = dispatch_log()
+    assert ("deblur_patches", "mega_image_dma") in log
+    assert ("overlap_add", "pallas_fused") in log
+    # batch_size forces the chunked tiles route past the DMA guard; its
+    # tiles are not lane-padded, so the blend falls back to the XLA join
+    reset_dispatch_log()
     b = deblur_patches(peacock_x, patch_size=448, overlap=1.0 / 7.0,
                        batch_size=1, **kw)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ("overlap_add", "xla_join") in dispatch_log()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=5e-7, rtol=0)
 
 
 def test_pallas_bilateral_matches_xla_on_tpu(peacock_x):

@@ -1,9 +1,12 @@
 """Headline benchmark: MP/s/chip for 3-iteration blind deblurring at 12MP.
 
-BASELINE.json config 4: 12MP image, bf16, tiled (400px patches, 25%
-overlap), per-tile blur estimation, 3 Polyblur iterations. Reference
-throughput to beat: ~35 MP/s (0.35MP peacock in "about 10ms" on an
-unspecified GPU, reference main.py:122-123); target >=500 MP/s/chip.
+BASELINE.json config 4: 12MP image, bf16, tiled with per-tile blur
+estimation, 3 Polyblur iterations. The shipped grid is 576px tiles at
+step 512 (statically aligned, 1.27x redundancy — see the inline note
+below); cli/bench_suite.py keeps the reference-default 400px/25% grid as
+its config-4b row. Reference throughput to beat: ~35 MP/s (0.35MP peacock
+in "about 10ms" on an unspecified GPU, reference main.py:122-123);
+target >=500 MP/s/chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -35,7 +35,9 @@ __all__ = ["polyblur_deblurring", "PolyblurDeblurring"]
 _TILE_CANDIDATES = ((576, 512), (448, 384), (320, 256))
 
 #: Per-pixel cost handicap of the whole-image blocked route relative to the
-#: tiled mega kernel (measured ~2x kernel rate, plus apron redundancy).
+#: tiled mega kernel (blocked apron redundancy + per-block estimation-free
+#: spectrum rebuilds; re-measured on hardware each round — see
+#: docs/ROUND4_NOTES.md).
 _BLOCKED_COST_FACTOR = 2.2
 
 #: ``method='auto'`` keeps whole-image (reference-exact, single global blur
@@ -48,15 +50,11 @@ _AUTO_TILE_MIN_AREA = 4_000_000
 
 def _auto_tile_wanted(h: int, w: int, cap: int) -> bool:
     """Whether ``method='auto'`` should consider tiling at all: the image
-    is past the whole-image mega envelope AND either large enough that the
-    tiled mega kernel's ~2x rate advantage dominates, or thin enough that
-    the blocked route's square working frame (max(h, w)^2) would blow up a
-    panorama's cost."""
-    if max(h, w) <= cap:
-        return False
-    if h * w >= _AUTO_TILE_MIN_AREA:
-        return True
-    return max(h, w) > 1280 and max(h, w) >= 2.5 * min(h, w)
+    is past the whole-image mega envelope AND large enough that the tiled
+    mega kernel's rate advantage dominates (the blocked route works on
+    rectangles directly, so thin panoramas no longer need a special
+    case)."""
+    return max(h, w) > cap and h * w >= _AUTO_TILE_MIN_AREA
 
 
 def _auto_tile_plan(h: int, w: int, cap: int):
@@ -64,9 +62,9 @@ def _auto_tile_plan(h: int, w: int, cap: int):
     the whole-image blocked route costs less.
 
     Cost = number of tiles x tile area (every tile runs the full per-tile
-    pipeline) vs the blocked route's square working frame at its measured
-    kernel-rate handicap. ``cap`` is the mega-kernel tile envelope for the
-    requested feature set (pipeline.mega_tile_cap)."""
+    pipeline) vs the blocked route's area at its measured kernel-rate
+    handicap. ``cap`` is the mega-kernel tile envelope for the requested
+    feature set (pipeline.mega_tile_cap)."""
     best = None
     for p, s in _TILE_CANDIDATES:
         if p > cap:
@@ -77,7 +75,7 @@ def _auto_tile_plan(h: int, w: int, cap: int):
         cost = n_tiles * p * p
         if best is None or cost < best[0]:
             best = (cost, p, s)
-    if best is not None and best[0] < _BLOCKED_COST_FACTOR * max(h, w) ** 2:
+    if best is not None and best[0] < _BLOCKED_COST_FACTOR * h * w:
         return best[1], (best[1] - best[2]) / best[1]
     return None
 

@@ -55,17 +55,21 @@ def edgetaper(img: jnp.ndarray, kernel, n_tapers: int = 3,
 
     ``kernel`` is a (B, C, h, w) array, or a ``(sigma, rho, theta)`` tuple
     of (B, C') parameter arrays — the separable fast path carries no 2D
-    kernel, so the taper weight map is built from the parametric form and
-    the blur runs through the oriented separable convolution (previously
-    the flag was silently dropped on that path; VERDICT r1 item 4).
+    kernel, so the taper weight map is built from the parametric form
+    (previously the flag was silently dropped on that path; VERDICT r1
+    item 4) and the blur is the exact sampled-kernel circular convolution
+    (ops.sep_poly.spectral_blur) — the same operator the reference's fft
+    method tapers with (edgetaper.py:30-32 via filters.py:33-35).
     """
     h, w = img.shape[-2:]
     if isinstance(kernel, (tuple, list)):
+        from .ops.sep_poly import spectral_blur
+
         sigma, rho, theta = kernel
         k2d = _kernels_from_params(sigma, rho, theta, ksize)
         alpha = edgetaper_alpha(k2d, (h, w)).astype(img.dtype)
         for _ in range(n_tapers):
-            blurred = convolve2d(img, kernel, method="direct_separable")
+            blurred = spectral_blur(img, sigma, rho, theta, ker_size=ksize)
             img = alpha * img + (1.0 - alpha) * blurred
         return img
     alpha = edgetaper_alpha(kernel, (h, w)).astype(img.dtype)

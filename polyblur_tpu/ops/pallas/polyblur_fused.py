@@ -1,12 +1,19 @@
 """The whole-pipeline mega-kernel: N complete Polyblur iterations for one
 tile — blur estimation (gradient matmuls, directional maxima, Keys angle
-interpolation, argmin, affine model) AND the shear-factorized polynomial
+interpolation, argmin, affine model) AND the exact 2D-spectral polynomial
 deconvolution of every channel — in a single VMEM-resident Pallas program.
 
 Each tile is read from HBM once and written once for the entire blind
 deblurring; every intermediate of every iteration lives in VMEM. This is
 the terminal point of the fusion ladder (see ops/pallas/sep_poly_fused.py
 for the per-application kernel and its design history).
+
+The deconvolution is the EXACT sampled-kernel polynomial — diagonal in
+the 2D DFT of the replicate-padded tile, with the kernel OTF rebuilt
+analytically in VMEM from the iteration's estimated quadratic form (see
+ops/sep_poly.py). It equals the reference fft method to f32 round-off;
+there is no shear factorization, margin canvas, or orientation transpose
+(rectangular tiles are fine).
 
 Applicability: the hot configurations — q == 0, no saturation mask, shared
 (non-multichannel) kernel, ker_size 25, n_interpolated_angles == 30 (which
@@ -17,8 +24,7 @@ in-kernel too (BASELINE config 2):
 * ``do_taper`` — 3 edgetaper blend iterations on the padded canvas; the
   taper weight map is rebuilt per iteration from the estimated kernel's
   discrete axis-projection autocorrelations (edgetaper.py:10-23 semantics)
-  and the blur is the same shear-factorized band operator as the
-  polynomial (2 extra MXU matmuls + 2 shears per taper iteration);
+  and the blur is one degree-1 application of the same spectral operator;
 * ``do_halo`` — gradient-inversion masking (deblurring.py:193-208) via the
   prefetched spectral-derivative matrices, 4 extra matmuls per channel;
 * ``prefilter`` — 'bilateral' (5x5 shift-accumulate, VPU) or 'dt'
@@ -46,8 +52,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sep_poly_fused import (_spec_phase, _tap_spectrum_k, _dft_mats_np,
-                             _band_operator)
+from .sep_poly_fused import (_packed_k, _dft_operands_packed,
+                             _ydft_operands, _tap_tables_np,
+                             _kernel_spectrum_block, _spectral_poly_block)
 from ..spectral_matmul import _derivative_matrix_np
 
 __all__ = ["polyblur_tiles_fused"]
@@ -55,33 +62,6 @@ __all__ = ["polyblur_tiles_fused"]
 _HALF = 12
 _NA = 6          # n_angles
 _NI = 30         # n_interpolated_angles
-
-
-def _packed_k(wc: int) -> int:
-    """Lane-padded half-spectrum width: K = wc//2+1 rounded up to 128."""
-    return -(-(wc // 2 + 1) // 128) * 128
-
-
-def _dft_operands_packed(wc: int, dtype):
-    """Packed real-DFT blocks: forward F = [Cf | -Sf] (wc, 2 Kp) so one
-    matmul yields the full (re | im) half-spectrum, and inverse
-    G = [Ai ; Bi] (2 Kp, wc) so one matmul consumes it. K is lane-padded
-    to Kp (a multiple of 128): the pad columns/rows are zero, so the
-    (re | im) halves sit at aligned lane offsets and the mid-chain swap
-    of the two halves is an aligned copy, never a lane relayout. Mosaic
-    pads (., K) operands to the next 128 lanes internally anyway, so the
-    explicit pad adds no FLOPs that weren't already spent."""
-    cf, sf, ai, bi = _dft_mats_np(wc)
-    K = wc // 2 + 1
-    kp = _packed_k(wc)
-    fwd = np.zeros((wc, 2 * kp), np.float32)
-    fwd[:, :K] = cf
-    fwd[:, kp:kp + K] = -sf
-    inv = np.zeros((2 * kp, wc), np.float32)
-    inv[:K, :] = ai
-    inv[kp:kp + K, :] = bi
-    mdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
-    return jnp.asarray(fwd, mdt), jnp.asarray(inv, mdt)
 
 
 @functools.lru_cache(maxsize=4)
@@ -117,7 +97,7 @@ def _iir_bidi(x, v):
 from .bilateral import _replicate_pad2d, bilateral_block as _bilateral5
 
 
-def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
+def _make_kernel(n_iter: int, csz: int, do_taper: bool = False,
                  do_halo: bool = False, prefilter=None, dma_grid=None,
                  ablate=(), out_pad: int = 0):
     """``dma_grid=(B, Tw, step_h, step_w)`` switches the kernel to image
@@ -127,6 +107,7 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
     angles = [k * math.pi / _NA for k in range(_NA + 1)]
 
     def kernel(co_ref, x_in_ref, dw_ref, dh_ref, wr_ref, f_ref, g_ref,
+               cy_ref, sy_ref, er_ref, ei_ref, cyt_ref, syt_ref,
                out_ref, ts_ref, *dma_scratch):
         if dma_grid is not None:
             bsz, t_w, step_h, step_w = dma_grid
@@ -199,26 +180,19 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
         beta = co_ref[3]
         cc = co_ref[4] * co_ref[4]   # c^2 of the affine model
         bb = co_ref[5] * co_ref[5]   # b^2
-        smax = co_ref[6]
-        sigma_s = co_ref[7]
-        sigma_r = co_ref[8]
+        sigma_s = co_ref[6]
+        sigma_r = co_ref[7]
 
         dw = dw_ref[...]   # (Wt, Wt) f32
         dh = dh_ref[...]   # (Ht, Ht) f32
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        lane_f = lane.astype(jnp.float32)
         big = jnp.float32(1e30)
 
         h = ht + 2 * _HALF
-        w_in = wt + 2 * _HALF
-        # canvas geometry must match ops.sep_poly's composition exactly
-        # (8-aligned width, centered content) — the spectral fold's ideal
-        # interpolator has global support
-        wc = ((w_in + 2 * margin + 7) // 8) * 8
-        pad_l = (wc - w_in) // 2
-        # host-precomputed DFT blocks, fetched once (constant index maps)
-        dft = (f_ref[...], g_ref[...])
+        # The canvas IS the replicate-padded tile (reference fft p2o
+        # geometry — circular, no margin).
+        wc = wt + 2 * _HALF
 
         def _input_grads(ch):
             x0 = tile_plane(ch).astype(jnp.float32)
@@ -282,27 +256,22 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
             qa = ct * ct * inv_l1 + st * st * inv_l2
             qb = st * ct * (inv_l1 - inv_l2)
             qc = ct * ct * inv_l2 + st * st * inv_l1
-            # Orientation auto-select (ops.sep_poly.orientation_params):
-            # shear the axis with the LARGER quadratic coefficient so
-            # |s| <= |qb| / sqrt(qa qc) <= 1 always — requires square
-            # tiles (pipeline gates mega dispatch on ht == wt) because the
-            # working frame is the conditional spatial transpose.
-            orient = "noorient" not in ablate
-            use_col = (qc > qa) if orient else jnp.bool_(False)
-            a_eff = jnp.where(use_col, qc, qa)
-            c_eff = jnp.where(use_col, qa, qc)
-            s = jnp.clip(-qb / a_eff, -smax, smax)
-            cp = jnp.maximum(c_eff - qb * qb / a_eff, 1e-4)
 
-            # tap normalizers: 1 / sum_t exp(-0.5 coef t^2), t in [-12, 12]
-            tl = lane_f - _HALF
-            tmask = lane < (2 * _HALF + 1)
-            inx = 1.0 / jnp.sum(
-                jnp.where(tmask, jnp.exp(-0.5 * a_eff * tl * tl), 0.0))
-            inv = 1.0 / jnp.sum(
-                jnp.where(tmask, jnp.exp(-0.5 * cp * tl * tl), 0.0))
-
-            w_in = wt + 2 * _HALF
+            # ---------------- analytic kernel OTF -----------------------
+            # (h, Kp) real spectrum of the iteration's sampled kernel on
+            # the padded-tile circle; the degree-3 Horner collapses to one
+            # pointwise spectrum, shared by every channel this iteration.
+            if "statickhat" in ablate:  # cost-probing only: pinned OTF
+                khat = jnp.full((h, er_ref.shape[1]), 0.5, jnp.float32)
+            else:
+                khat = _kernel_spectrum_block(
+                    qa, qb, qc, er_ref[...], ei_ref[...], cyt_ref[...],
+                    syt_ref[...], _HALF)
+            qhat = ((a3 * khat + a2) * khat + a1) * khat + beta
+            qhat2 = jnp.concatenate([qhat, qhat], axis=1) * (1.0 / h)
+            if do_taper:
+                khat2 = jnp.concatenate([khat, khat], axis=1) * (1.0 / h)
+            kp = er_ref.shape[1]
 
             # ---------------- taper weight map (edgetaper.py:10-23) -----
             # Built from the *discrete* 25^2 kernel the estimate implies:
@@ -313,10 +282,9 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
             if do_taper:
                 # Build the kernel in a (25, 128) lane-padded layout (lanes
                 # past 24 masked to zero — Mosaic cannot relayout 25-lane
-                # vectors), once per orientation so both axis projections
-                # come out as (1, 128) row vectors via axis-0 sums. The
-                # quadratic form swaps (a_eff <-> c_eff) under x <-> y, so
-                # these are the WORKING-frame (post-orientation) kernels.
+                # vectors), once per axis ordering so both axis projections
+                # come out as (1, 128) row vectors via axis-0 sums (the
+                # quadratic form swaps (qa <-> qc) under x <-> y).
                 krow = jax.lax.broadcasted_iota(
                     jnp.int32, (25, 128), 0).astype(jnp.float32) - _HALF
                 klane = jax.lax.broadcasted_iota(
@@ -324,13 +292,13 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
                 klm = klane < 25
                 klf = klane.astype(jnp.float32) - _HALF
                 k2d = jnp.where(
-                    klm, jnp.exp(-0.5 * (a_eff * klf * klf
+                    klm, jnp.exp(-0.5 * (qa * klf * klf
                                          + 2.0 * qb * klf * krow
-                                         + c_eff * krow * krow)), 0.0)
+                                         + qc * krow * krow)), 0.0)
                 k2dT = jnp.where(
-                    klm, jnp.exp(-0.5 * (c_eff * klf * klf
+                    klm, jnp.exp(-0.5 * (qc * klf * klf
                                          + 2.0 * qb * klf * krow
-                                         + a_eff * krow * krow)), 0.0)
+                                         + qa * krow * krow)), 0.0)
                 total = jnp.sum(k2d)
                 px128 = jnp.sum(k2d, axis=0, keepdims=True) / total  # x-proj
                 py128 = jnp.sum(k2dT, axis=0, keepdims=True) / total  # y-proj
@@ -344,24 +312,22 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
                         cs.append(jnp.sum(p * shifted))
                     return cs
 
-                cy = lane_autocorr(py128)
-                cx = lane_autocorr(px128)
+                acy = lane_autocorr(py128)
+                acx = lane_autocorr(px128)
                 rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
                 zv = jnp.zeros((h, 1), jnp.float32)
                 for d in range(25):
-                    zv = zv + cy[d] * ((rows_i == d)
-                                       + (rows_i == h - 1 - d)
-                                       ).astype(jnp.float32)
-                av = 1.0 - zv / cy[0]  # (h, 1)
-                cols_i = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, wc), 1) - pad_l
+                    zv = zv + acy[d] * ((rows_i == d)
+                                        + (rows_i == h - 1 - d)
+                                        ).astype(jnp.float32)
+                av = 1.0 - zv / acy[0]  # (h, 1)
+                cols_i = jax.lax.broadcasted_iota(jnp.int32, (1, wc), 1)
                 zh = jnp.zeros((1, wc), jnp.float32)
                 for d in range(25):
-                    zh = zh + cx[d] * ((cols_i == d)
-                                       + (cols_i == w_in - 1 - d)
-                                       ).astype(jnp.float32)
-                ah = 1.0 - zh / cx[0]  # (1, wc)
-                inside = jnp.logical_and(cols_i >= 0, cols_i < w_in)
+                    zh = zh + acx[d] * ((cols_i == d)
+                                        + (cols_i == wc - 1 - d)
+                                        ).astype(jnp.float32)
+                ah = 1.0 - zh / acx[0]  # (1, wc)
                 t_alpha = av * ah  # (h, wc)
 
             # ---------------- prefilter shared state --------------------
@@ -387,61 +353,25 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
                 v_v_t = jnp.exp(dVdy.T * log_a)   # (wt, ht)
 
             # ---------------- deconvolution per channel -----------------
-            # Spectral-x chain (ops.sep_poly docstring): the shear and the
-            # x-Gaussian are elementwise in the x-frequency domain; only
-            # the y-conv needs a band matmul. DFT matmul inputs run in the
-            # image dtype (bf16 serving pipelines keep the MXU at bf16);
-            # spectra/phases stay f32.
+            # Exact 2D-spectral polynomial (ops/pallas/sep_poly_fused.py):
+            # packed x-rDFT, two y-DFT matmuls, the real p(K_hat) multiply,
+            # two inverse y-DFT matmuls, packed inverse x-rDFT. DFT matmul
+            # inputs run in the image dtype (bf16 serving pipelines keep
+            # the MXU at bf16); spectra stay f32.
             dt = ts_ref.dtype
-            if "staticvm" in ablate:  # cost-probing only: hoistable build
-                vm = _band_operator(jnp.float32(0.5), jnp.float32(0.4), h,
-                                    dt)
-            else:
-                vm = _band_operator(cp, inv, h, dt)
+            fwd = f_ref[...]
+            invm = g_ref[...]
+            cyb = cy_ref[...]
+            syb = sy_ref[...]
 
-            if "novconv" in ablate:  # cost-probing only
-                def vconv(u):
+            if "nodeconv" not in ablate and "nodft" in ablate:
+                # cost-probing only: skip the DFT chain, keep the rest
+                def poly_apply(u, _q2):
                     return u
             else:
-                def vconv(u):
-                    return jax.lax.dot(
-                        vm, u.astype(dt),
-                        preferred_element_type=jnp.float32)
-
-            fwd, invm = dft
-            mdt = fwd.dtype
-            kp = fwd.shape[1] // 2
-            if "staticphase" in ablate:  # cost-probing only
-                ca, sa = _spec_phase(jnp.float32(0.25), h, wc, n_k=kp)
-                ghx = _tap_spectrum_k(jnp.float32(0.5), jnp.float32(0.4),
-                                      wc, _HALF, n_k=kp)
-            else:
-                ca, sa = _spec_phase(s, h, wc, n_k=kp)
-                ghx = _tap_spectrum_k(a_eff, inx, wc, _HALF, n_k=kp)
-            # packed (re | im) layout helpers: full-width phase/tap rows
-            # and the aligned half-swap (kp is a multiple of 128)
-            ca2 = jnp.concatenate([ca, ca], axis=1)          # (h, 2kp)
-            sb2 = jnp.concatenate([-sa, sa], axis=1)         # forward rot
-            sb2r = jnp.concatenate([sa, -sa], axis=1)        # conjugate rot
-            gh2 = jnp.concatenate([ghx, ghx], axis=1)        # (1, 2kp)
-
-            def swap(u2):
-                return jnp.concatenate([u2[:, kp:], u2[:, :kp]], axis=1)
-
-            if "nodft" in ablate:  # cost-probing only: pad stand-ins
-                def rfft_packed(u):
-                    return jnp.pad(u, ((0, 0), (0, 2 * kp - wc)))
-
-                def irfft_packed(z2):
-                    return z2[:, :wc]
-            else:
-                def rfft_packed(u):
-                    return jax.lax.dot(u.astype(mdt), fwd,
-                                       preferred_element_type=jnp.float32)
-
-                def irfft_packed(z2):
-                    return jax.lax.dot(z2.astype(mdt), invm,
-                                       preferred_element_type=jnp.float32)
+                def poly_apply(u, q2):
+                    return _spectral_poly_block(u, q2, fwd, invm, cyb,
+                                                syb, kp)
 
             for ch in range(csz):
                 xin_f = ts_ref[ch].astype(jnp.float32)
@@ -461,41 +391,17 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
                         o = jnp.clip(o + noise, 0.0, 1.0)
                     ts_ref[ch] = o.astype(dt)
                     continue
-                # working frame: conditional spatial transpose (square)
-                work = jnp.where(use_col, xin_f.T, xin_f) if orient else xin_f
-                xp = _replicate_pad2d(work, _HALF)  # (h, w_in)
-                zl = jnp.zeros((h, pad_l), jnp.float32)
-                zr = jnp.zeros((h, wc - w_in - pad_l), jnp.float32)
-                xc = jnp.concatenate([zl, xp, zr], axis=1)  # (H, Wc) f32
+                xc = _replicate_pad2d(xin_f, _HALF)  # (h, wc) f32
 
                 if do_taper:
-                    # u <- alpha u + (1 - alpha) K u, 3 times; K is the
-                    # same spectral-x operator as the polynomial
+                    # u <- alpha u + (1 - alpha) K u, 3 times; K is one
+                    # degree-1 application of the same spectral operator
                     for _ in range(3):
-                        ri2 = rfft_packed(xc)
-                        t2 = vconv(ri2 * ca2 + swap(ri2) * sb2)
-                        y2 = gh2 * t2
-                        ku = irfft_packed(y2 * ca2 + swap(y2) * sb2r)
-                        xc = jnp.where(
-                            inside, t_alpha * xc + (1.0 - t_alpha) * ku, xc)
+                        ku = poly_apply(xc, khat2)
+                        xc = t_alpha * xc + (1.0 - t_alpha) * ku
 
-                # p(K)u = beta u + irfft(Ghat conj(ph)
-                #         [a1 + V Ghat a2 + (V Ghat)^2 a3](V(ph rfft(u))))
-                # in the packed (re | im) layout: one matmul per transform
-                # and per V application (aligned half-swaps realise the
-                # complex rotations)
-                ri2 = rfft_packed(xc)
-                t2 = vconv(ri2 * ca2 + swap(ri2) * sb2)
-                r2 = a3 * t2
-                r2 = a2 * t2 + vconv(gh2 * r2)
-                r2 = a1 * t2 + vconv(gh2 * r2)
-                y2 = gh2 * r2
-                o_full = beta * xc \
-                    + irfft_packed(y2 * ca2 + swap(y2) * sb2r)
-                o = o_full[_HALF:h - _HALF,
-                           pad_l + _HALF:pad_l + _HALF + wt]
-                if orient:
-                    o = jnp.where(use_col, o.T, o)  # back to original frame
+                o_full = poly_apply(xc, qhat2)
+                o = o_full[_HALF:h - _HALF, _HALF:_HALF + wt]
 
                 if do_halo:
                     # gradient-inversion masking (deblurring.py:193-208,
@@ -509,10 +415,7 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
                                       preferred_element_type=jnp.float32)
                     M = -(gx0 * gox) - (gy0 * goy)
                     z = jnp.clip(M / (nM + M + 1e-12), 0.0, None)
-                    u_cmp = xc[_HALF:h - _HALF,
-                               pad_l + _HALF:pad_l + _HALF + wt]
-                    if orient:
-                        u_cmp = jnp.where(use_col, u_cmp.T, u_cmp)
+                    u_cmp = xc[_HALF:h - _HALF, _HALF:_HALF + wt]
                     o = o + z * (u_cmp - o)
 
                 o = jnp.clip(o, 0.0, 1.0)
@@ -537,16 +440,37 @@ def _make_kernel(n_iter: int, margin: int, csz: int, do_taper: bool = False,
     return kernel
 
 
-def _fused_call(x, coeffs, n_iter, margin, do_taper=False, do_halo=False,
+def _spectral_operands(ht, wt, dtype):
+    """The (canvas-dependent) host tables of the 2D-spectral polynomial:
+    packed x-rDFT pair, y-DFT cos/sin, and the kernel-OTF tap tables."""
+    h = ht + 2 * _HALF
+    wc = wt + 2 * _HALF
+    kp = _packed_k(wc)
+    fwd, inv = _dft_operands_packed(wc, dtype)
+    cy, sy = _ydft_operands(h, dtype)
+    er, ei, cyt, syt = (jnp.asarray(m)
+                        for m in _tap_tables_np(h, wc, _HALF))
+    specs = [
+        pl.BlockSpec((wc, 2 * kp), lambda i, *_: (0, 0)),
+        pl.BlockSpec((2 * kp, wc), lambda i, *_: (0, 0)),
+        pl.BlockSpec((h, h), lambda i, *_: (0, 0)),
+        pl.BlockSpec((h, h), lambda i, *_: (0, 0)),
+        pl.BlockSpec((128, kp), lambda i, *_: (0, 0)),
+        pl.BlockSpec((128, kp), lambda i, *_: (0, 0)),
+        pl.BlockSpec((h, 32), lambda i, *_: (0, 0)),
+        pl.BlockSpec((h, 32), lambda i, *_: (0, 0)),
+    ]
+    return (fwd, inv, cy, sy, er, ei, cyt, syt), specs
+
+
+def _fused_call(x, coeffs, n_iter, do_taper=False, do_halo=False,
                 prefilter=None, interpret=False, ablate=()):
     t, c, ht, wt = x.shape
     dw = jnp.asarray(_derivative_matrix_np(wt))
     dh = jnp.asarray(_derivative_matrix_np(ht))
     w_rows = np.zeros((8, 128), np.float32)
     w_rows[:_NA + 1, :_NI] = _interp_weights_np().T
-    wc = ((wt + 2 * _HALF + 2 * margin + 7) // 8) * 8
-    kp2 = 2 * _packed_k(wc)
-    fwd, inv = _dft_operands_packed(wc, x.dtype)
+    tables, table_specs = _spectral_operands(ht, wt, x.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t,),
@@ -555,14 +479,12 @@ def _fused_call(x, coeffs, n_iter, margin, do_taper=False, do_halo=False,
             pl.BlockSpec((wt, wt), lambda i, *_: (0, 0)),
             pl.BlockSpec((ht, ht), lambda i, *_: (0, 0)),
             pl.BlockSpec((8, 128), lambda i, *_: (0, 0)),
-            pl.BlockSpec((wc, kp2), lambda i, *_: (0, 0)),
-            pl.BlockSpec((kp2, wc), lambda i, *_: (0, 0)),
-        ],
+        ] + table_specs,
         out_specs=pl.BlockSpec((1, c, ht, wt), lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((c, ht, wt), x.dtype)],
     )
     return pl.pallas_call(
-        _make_kernel(n_iter, margin, c, do_taper=do_taper, do_halo=do_halo,
+        _make_kernel(n_iter, c, do_taper=do_taper, do_halo=do_halo,
                      prefilter=prefilter, ablate=ablate),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -570,10 +492,10 @@ def _fused_call(x, coeffs, n_iter, margin, do_taper=False, do_halo=False,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(coeffs.astype(jnp.float32), x, dw, dh, jnp.asarray(w_rows),
-      fwd, inv)
+      *tables)
 
 
-def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
+def _image_call(padded, coeffs, n_iter, grid_info, do_taper=False,
                 do_halo=False, prefilter=None, interpret=False,
                 pad_lanes=False):
     """Mega-kernel over tiles cut in-kernel from the padded canvas.
@@ -611,9 +533,7 @@ def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
     dh = jnp.asarray(_derivative_matrix_np(ph))
     w_rows = np.zeros((8, 128), np.float32)
     w_rows[:_NA + 1, :_NI] = _interp_weights_np().T
-    wc = ((pw + 2 * _HALF + 2 * margin + 7) // 8) * 8
-    kp2 = 2 * _packed_k(wc)
-    fwd, inv = _dft_operands_packed(wc, padded.dtype)
+    tables, table_specs = _spectral_operands(ph, pw, padded.dtype)
     pw_out = -(-pw // 128) * 128 if pad_lanes else pw
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -623,9 +543,7 @@ def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
             pl.BlockSpec((pw, pw), lambda i, *_: (0, 0)),
             pl.BlockSpec((ph, ph), lambda i, *_: (0, 0)),
             pl.BlockSpec((8, 128), lambda i, *_: (0, 0)),
-            pl.BlockSpec((wc, kp2), lambda i, *_: (0, 0)),
-            pl.BlockSpec((kp2, wc), lambda i, *_: (0, 0)),
-        ],
+        ] + table_specs,
         out_specs=pl.BlockSpec((1, c, ph, pw_out),
                                lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((c, ph, pw), padded.dtype),
@@ -633,7 +551,7 @@ def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
                         pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
-        _make_kernel(n_iter, margin, c, do_taper=do_taper, do_halo=do_halo,
+        _make_kernel(n_iter, c, do_taper=do_taper, do_halo=do_halo,
                      prefilter=prefilter,
                      dma_grid=(b, t_w, step_h, step_w),
                      out_pad=pw_out - pw),
@@ -643,17 +561,17 @@ def _image_call(padded, coeffs, n_iter, margin, grid_info, do_taper=False,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(coeffs.astype(jnp.float32), padded, dw, dh, jnp.asarray(w_rows),
-      fwd, inv)
+      *tables)
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
-def polyblur_image_fused(padded, coeffs, n_iter, margin, grid_info,
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def polyblur_image_fused(padded, coeffs, n_iter, grid_info,
                          do_taper=False, do_halo=False, prefilter=None,
                          interpret=False, pad_lanes=False):
     """Image-input mega kernel (see :func:`_image_call`); differentiable
     via the composed extract + XLA reference pipeline."""
-    return _image_call(padded, coeffs, n_iter, margin, grid_info,
+    return _image_call(padded, coeffs, n_iter, grid_info,
                        do_taper=do_taper, do_halo=do_halo,
                        prefilter=prefilter, interpret=interpret,
                        pad_lanes=pad_lanes)
@@ -671,16 +589,16 @@ def _ref_image_pipeline(padded, coeffs, n_iter, grid_info, do_taper,
                          do_halo=do_halo, prefilter=prefilter)
 
 
-def _img_fwd(padded, coeffs, n_iter, margin, grid_info, do_taper, do_halo,
+def _img_fwd(padded, coeffs, n_iter, grid_info, do_taper, do_halo,
              prefilter, interpret, pad_lanes):
-    out = _image_call(padded, coeffs, n_iter, margin, grid_info,
+    out = _image_call(padded, coeffs, n_iter, grid_info,
                       do_taper=do_taper, do_halo=do_halo,
                       prefilter=prefilter, interpret=interpret,
                       pad_lanes=pad_lanes)
     return out, (padded, coeffs)
 
 
-def _img_bwd(n_iter, margin, grid_info, do_taper, do_halo, prefilter,
+def _img_bwd(n_iter, grid_info, do_taper, do_halo, prefilter,
              interpret, pad_lanes, res, g):
     padded, coeffs = res
     pw = grid_info[5]
@@ -694,19 +612,18 @@ def _img_bwd(n_iter, margin, grid_info, do_taper, do_halo, prefilter,
 polyblur_image_fused.defvjp(_img_fwd, _img_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def polyblur_tiles_fused(x, coeffs, n_iter, margin, do_taper=False,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def polyblur_tiles_fused(x, coeffs, n_iter, do_taper=False,
                          do_halo=False, prefilter=None, interpret=False):
     """N blind Polyblur iterations on a tile batch, fully in-kernel.
 
-    :param x: (T, C, Ht, Wt) tiles in [0, 1]
-    :param coeffs: (9,) [a3, a2, a1, beta, c, b, smax, sigma_s, sigma_r]
+    :param x: (T, C, Ht, Wt) tiles in [0, 1] (rectangles fine)
+    :param coeffs: (8,) [a3, a2, a1, beta, c, b, sigma_s, sigma_r]
     :param n_iter: static iteration count
-    :param margin: static shear-canvas margin (ceil(HALF * smax))
     :param do_taper, do_halo, prefilter: static feature flags
         (prefilter in {None, 'bilateral', 'dt'})
     """
-    return _fused_call(x, coeffs, n_iter, margin, do_taper=do_taper,
+    return _fused_call(x, coeffs, n_iter, do_taper=do_taper,
                        do_halo=do_halo, prefilter=prefilter,
                        interpret=interpret)
 
@@ -723,20 +640,20 @@ def _ref_pipeline(x, coeffs, n_iter, do_taper=False, do_halo=False,
     alpha = 2.0 * (a3 + beta - 2.0)
     smoother = "domain_transform" if prefilter == "dt" else "bilateral"
     return polyblur_core(x, n_iter=n_iter, c=coeffs[4], b=coeffs[5],
-                         alpha=alpha, beta=beta, sigma_s=coeffs[7],
-                         sigma_r=coeffs[8], method="direct_separable",
+                         alpha=alpha, beta=beta, sigma_s=coeffs[6],
+                         sigma_r=coeffs[7], method="direct_separable",
                          edgetaping=do_taper, remove_halo=do_halo,
                          prefiltering=prefilter is not None,
                          smoother=smoother, _disable_mega=True)
 
 
-def _fwd(x, coeffs, n_iter, margin, do_taper, do_halo, prefilter, interpret):
-    return _fused_call(x, coeffs, n_iter, margin, do_taper=do_taper,
+def _fwd(x, coeffs, n_iter, do_taper, do_halo, prefilter, interpret):
+    return _fused_call(x, coeffs, n_iter, do_taper=do_taper,
                        do_halo=do_halo, prefilter=prefilter,
                        interpret=interpret), (x, coeffs)
 
 
-def _bwd(n_iter, margin, do_taper, do_halo, prefilter, interpret, res, g):
+def _bwd(n_iter, do_taper, do_halo, prefilter, interpret, res, g):
     x, coeffs = res
     _, vjp = jax.vjp(
         lambda x_, c_: _ref_pipeline(x_, c_, n_iter, do_taper=do_taper,

@@ -1,38 +1,40 @@
 """Fused Pallas kernel: the ENTIRE degree-3 polynomial deconvolution of one
-tile — band-matrix construction, canvas embed, shear, six MXU matmuls,
-Horner combines, exact unshear fold, crop — in a single VMEM-resident
-program.
+tile — replicate pad, analytic kernel-spectrum build, six packed MXU DFT
+matmuls, crop — in a single VMEM-resident program.
+
+The operator (see ops/sep_poly.py) is the EXACT sampled-kernel polynomial,
+diagonal in the 2D DFT of the replicate-padded tile:
+
+    p(K) u = idft2( p(K_hat) * dft2(u_pad) )
+
+evaluated as matmuls: a packed x-rDFT (one matmul produces the [re | im]
+half-spectrum), two y-DFT matmuls (cos/sin row tables; complex rotation
+via an aligned half-swap), the real spectrum multiply, two inverse y-DFT
+matmuls, and the packed inverse x-rDFT. K_hat itself is rebuilt in VMEM
+from the tile's THREE quadratic-form scalars via two tiny matmuls against
+host-precomputed tap-phase tables — the (ker x ker) kernel never exists in
+HBM.
 
 Design history (each stage measured on v5e through the axon tunnel):
-
-* unfused XLA composition: ~14 ms / application — dominated NOT by the
-  matmuls but by materializing the (N, Wc, Wc)/(N, H, H) banded Toeplitz
-  operators in HBM plus canvas embed/crop passes;
-* fused kernel with operators passed in: ~6.5 ms;
-* this version: the operators never exist in HBM at all — each program
-  rebuilds its two band matrices analytically in VMEM,
-  ``exp(-0.5 coef (u - v)^2) * inv_norm`` masked to the tap band, from
-  five per-tile scalars. Matrix "construction" is ~0.4M VPU exps per
-  program, overlapped with the MXU dots.
-
-Round-3 operator update (see ops/sep_poly.py): the whole chain is
-spectral along x — ``p(K) u = beta u + irfft(Ghat conj(ph)
-[a1 + V Ghat a2 + (V Ghat)^2 a3](V(ph rfft(u))))`` with the shear as an
-IDEAL phase ramp and the x-Gaussian as its cosine tap spectrum (both
-zero-interpolation-error, both elementwise in k); only the y-conv is a
-band matmul. Orientation auto-select happens OUTSIDE this kernel
-(ops/sep_poly.py conditionally transposes the square tiles), so the
-kernel always shears rows.
+round 2 banded spatial matmuls on a margin canvas (~6.5 ms/application
+unfused); round 3 spectral-x shear factorization with ideal phase ramps
+(~112 us per 400^2 x 3ch x 3-iter tile, but band-limited interpolation of
+the fractionally-shifted narrow x-taps cost ~58 dB per application vs the
+exact operator); round 4 (this file) the exact 2D spectrum — one more
+packed matmul per application than the shear chain, on a SMALLER canvas
+(no shear margin), and f32-exact vs the reference fft method.
 
 Gradients: the custom VJP differentiates the equivalent XLA composition
-(grouped 1D convolutions — cheap, no banded operators in HBM); the Pallas
-kernel only runs forward.
+(rfft2 / DFT einsums — natively differentiable in x and in (a, b, c));
+the Pallas kernel only runs forward.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -42,15 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_polynomial_pallas"]
 
 
-import numpy as np
-
-
 @functools.lru_cache(maxsize=8)
 def _dft_mats_np(wc: int):
-    """Real-DFT matrices for the spectral fold (host-precomputed; they
+    """Real-DFT matrices along the lane (x) axis (host-precomputed; they
     depend only on the static canvas width, so every program reuses the
-    same constant blocks — rebuilding them in-kernel cost ~540K VPU
-    transcendentals per tile). rfft: ``Re = z @ Cf``, ``Im = -(z @ Sf)``;
+    same constant blocks). rfft: ``Re = z @ Cf``, ``Im = -(z @ Sf)``;
     irfft: ``z = Re @ Ai + Im @ Bi``. The v*k products are reduced mod wc
     exactly before the trig, so there is no large-argument precision
     loss."""
@@ -70,81 +68,164 @@ def _dft_mats_np(wc: int):
     return cf, sf, ai, bi
 
 
-def _dft_operands(wc: int, dtype):
-    """The four DFT blocks as jnp arrays in the kernel's matmul dtype.
+@functools.lru_cache(maxsize=8)
+def _ydft_mats_np(h: int):
+    """Full-DFT cos/sin matrices along the row (y) axis: ``C[q, y] =
+    cos(2 pi q y / h)``, ``S[q, y] = sin(...)`` (symmetric, so forward and
+    inverse share them; the inverse's 1/h normalization is folded into the
+    spectrum multiply)."""
+    q = np.arange(h)[:, None]
+    y = np.arange(h)[None, :]
+    ang = (2.0 * np.pi / h) * np.mod(q * y, h)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _packed_k(wc: int) -> int:
+    """Lane-padded half-spectrum width: K = wc//2+1 rounded up to 128."""
+    return -(-(wc // 2 + 1) // 128) * 128
+
+
+def _dft_operands_packed(wc: int, dtype):
+    """Packed real-DFT blocks: forward F = [Cf | -Sf] (wc, 2 Kp) so one
+    matmul yields the full (re | im) half-spectrum, and inverse
+    G = [Ai ; Bi] (2 Kp, wc) so one matmul consumes it. K is lane-padded
+    to Kp (a multiple of 128): the pad columns/rows are zero, so the
+    (re | im) halves sit at aligned lane offsets and the mid-chain swap
+    of the two halves is an aligned copy, never a lane relayout. Mosaic
+    pads (., K) operands to the next 128 lanes internally anyway, so the
+    explicit pad adds no FLOPs that weren't already spent.
 
     For bf16 images the DFT matmuls run in bf16 (f32 matmuls cost ~6x on
     the MXU); the induced error (~1e-3) sits at the same scale as the
-    bf16 output quantization. f32 images keep f32 matrices.
-    """
+    bf16 output quantization. f32 images keep f32 matrices."""
+    cf, sf, ai, bi = _dft_mats_np(wc)
+    K = wc // 2 + 1
+    kp = _packed_k(wc)
+    fwd = np.zeros((wc, 2 * kp), np.float32)
+    fwd[:, :K] = cf
+    fwd[:, kp:kp + K] = -sf
+    inv = np.zeros((2 * kp, wc), np.float32)
+    inv[:K, :] = ai
+    inv[kp:kp + K, :] = bi
     mdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
-    return tuple(jnp.asarray(m, mdt) for m in _dft_mats_np(wc))
+    return jnp.asarray(fwd, mdt), jnp.asarray(inv, mdt)
 
 
-def _spec_phase(s, h, wc, n_k=None):
-    """(cos, sin) of the per-row ideal-shift phase ramp
-    ``e^{i 2 pi d_y k / wc}`` with d_y = s (y - yc); each (h, K).
-    The integer part of d_y * k is reduced mod wc in exact int32 before
-    the trig (no large-argument precision loss). ``n_k`` overrides the
-    lane count (lane-padded packed-operand layouts; the extra columns
-    multiply spectra that are structurally zero)."""
-    import math
-
-    K = n_k or (wc // 2 + 1)
-    karr = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    karr_f = karr.astype(jnp.float32)
-    yc = (h - 1) / 2.0
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
-    d = s * (rows - yc)
-    m = jnp.floor(d)
-    f = d - m
-    mk = jnp.mod(m.astype(jnp.int32) * karr, wc).astype(jnp.float32)
-    ang = (2.0 * math.pi / wc) * (mk + f * karr_f)
-    return jnp.cos(ang), jnp.sin(ang)
+def _ydft_operands(h: int, dtype):
+    mdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    cy, sy = _ydft_mats_np(h)
+    return jnp.asarray(cy, mdt), jnp.asarray(sy, mdt)
 
 
-def _tap_spectrum_k(coef, inv_norm, wc, half, n_k=None):
-    """(1, K) cosine spectrum of the L1-normalized 2*half+1 Gaussian taps
-    from per-tile scalars (matches ops.sep_poly._tap_spectrum). ``n_k``
-    overrides the lane count (see _spec_phase)."""
-    import math
+def _tap_tables_np(h: int, wc: int, half: int):
+    """Host tables for the in-VMEM analytic kernel-spectrum build.
 
-    K = n_k or (wc // 2 + 1)
-    karr_f = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1).astype(jnp.float32)
-    gh = jnp.zeros((1, K), jnp.float32)
-    for j in range(-half, half + 1):
-        w_j = jnp.exp((-0.5 * coef) * (j * j))
-        gh = gh + w_j * jnp.cos((2.0 * math.pi * j / wc) * karr_f)
-    return gh * inv_norm
+    ``er/ei`` (128, Kp): row t (t < 2*half+1) is the x-phase
+    cos/-sin(2 pi (t - half) k / wc) of tap offset t - half; rows beyond
+    the support are zero. ``cyt/syt`` (h, 32): column j is the y-phase
+    cos/sin(2 pi q (j - half) / h) of row offset j - half."""
+    K = wc // 2 + 1
+    kp = _packed_k(wc)
+    taps = 2 * half + 1
+    t = np.arange(taps)[:, None] - half
+    k = np.arange(K)[None, :]
+    er = np.zeros((128, kp), np.float32)
+    ei = np.zeros((128, kp), np.float32)
+    ang = (2.0 * np.pi / wc) * t * k
+    er[:taps, :K] = np.cos(ang)
+    ei[:taps, :K] = -np.sin(ang)
+    q = np.arange(h)[:, None]
+    j = np.arange(taps)[None, :] - half
+    angy = (2.0 * np.pi / h) * q * j
+    cyt = np.zeros((h, 32), np.float32)
+    syt = np.zeros((h, 32), np.float32)
+    cyt[:, :taps] = np.cos(angy)
+    syt[:, :taps] = np.sin(angy)
+    return er, ei, cyt, syt
 
 
-def _band_operator(coef, inv_norm, n, dtype, half=12):
-    """(n, n) 'same' Gaussian band operator, built analytically in VMEM:
-    B[u, v] = exp(-0.5 coef (u-v)^2) * inv_norm for |u - v| <= half."""
-    du = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    dv = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    d = (du - dv).astype(jnp.float32)
-    band = jnp.exp((-0.5 * coef) * d * d) * inv_norm
-    return jnp.where(jnp.abs(d) <= float(half), band, 0.0).astype(dtype)
+def _mm_precision(mdt):
+    """Dot precision for the spectral matmuls: f32 images run HIGHEST
+    (Mosaic's DEFAULT truncates f32 MXU operands to bf16 — measured
+    41.5 dB fast-vs-fft on the flagship; HIGHEST restores f32-grade
+    parity, and f32 is the parity path, not the serving path). bf16
+    images keep the native single-pass MXU (output quantization dominates
+    any matmul rounding there)."""
+    return (jax.lax.Precision.HIGHEST if mdt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
 
-def _make_kernel(margin: int, replicate_pad: bool, clip: bool, half: int):
-    def kernel(p_ref, co_ref, x_ref, cf_ref, sf_ref, ai_ref, bi_ref,
-               out_ref):
+def _kernel_spectrum_block(qa, qb, qc, er, ei, cyt, syt, half: int):
+    """In-VMEM analytic OTF (h, Kp) from the tile's three quadratic-form
+    scalars (matches ops.sep_poly.kernel_spectrum): build the sampled
+    kernel as a (32, 128) masked block, two tiny matmuls against the tap
+    phase tables, then the y-phase combine. Always f32/HIGHEST — the OTF
+    feeds every downstream multiply and these matmuls are tiny."""
+    hi = jax.lax.Precision.HIGHEST
+    taps = 2 * half + 1
+    jr = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+    tl = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 1)
+    mask = jnp.logical_and(jr < taps, tl < taps)
+    jf = jr.astype(jnp.float32) - half
+    tf = tl.astype(jnp.float32) - half
+    km = jnp.where(
+        mask, jnp.exp(-0.5 * (qa * tf * tf + 2.0 * qb * tf * jf
+                              + qc * jf * jf)), 0.0)
+    km = km * (1.0 / jnp.sum(km))
+    hr = jax.lax.dot(km, er.astype(jnp.float32),
+                     preferred_element_type=jnp.float32, precision=hi)
+    hi_ = jax.lax.dot(km, ei.astype(jnp.float32),
+                      preferred_element_type=jnp.float32, precision=hi)
+    # cyt/syt are (h, 32) with the 2*half+1 active columns; hr/hi rows
+    # beyond the tap support are zero, so the (h, 32) @ (32, Kp) pair
+    # yields the (h, Kp) OTF directly.
+    return (jax.lax.dot(cyt.astype(jnp.float32), hr,
+                        preferred_element_type=jnp.float32, precision=hi)
+            + jax.lax.dot(syt.astype(jnp.float32), hi_,
+                          preferred_element_type=jnp.float32, precision=hi))
+
+
+def _spectral_poly_block(xc, qhat2, fwd, invm, cy, sy, kp):
+    """One packed-spectral polynomial application on an (h, wc) f32 canvas
+    block: p(K) xc with ``qhat2`` the packed [q | q] (h, 2 Kp) spectrum
+    already scaled by 1/h (the inverse y-DFT normalization)."""
+    mdt = fwd.dtype
+    prec = _mm_precision(mdt)
+    sgn = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 2 * kp), 1) < kp, 1.0, -1.0)
+
+    def swap(u2):
+        return jnp.concatenate([u2[:, kp:], u2[:, :kp]], axis=1)
+
+    ri2 = jax.lax.dot(xc.astype(mdt), fwd,
+                      preferred_element_type=jnp.float32, precision=prec)
+    yf = (jax.lax.dot(cy, ri2.astype(mdt),
+                      preferred_element_type=jnp.float32, precision=prec)
+          + jax.lax.dot(sy, (swap(ri2) * sgn).astype(mdt),
+                        preferred_element_type=jnp.float32, precision=prec))
+    p2 = qhat2 * yf
+    yi = (jax.lax.dot(cy, p2.astype(mdt),
+                      preferred_element_type=jnp.float32, precision=prec)
+          + jax.lax.dot(sy, (swap(p2) * (-sgn)).astype(mdt),
+                        preferred_element_type=jnp.float32, precision=prec))
+    return jax.lax.dot(yi.astype(mdt), invm,
+                       preferred_element_type=jnp.float32, precision=prec)
+
+
+def _make_kernel(replicate_pad: bool, clip: bool, half: int):
+    def kernel(p_ref, co_ref, x_ref, fwd_ref, inv_ref, cy_ref, sy_ref,
+               er_ref, ei_ref, cyt_ref, syt_ref, out_ref):
         _, h_in, w_raw = x_ref.shape
         i = pl.program_id(0)
-        s = p_ref[i, 0]
-        coef_x = p_ref[i, 1]
-        coef_v = p_ref[i, 2]
-        inx = p_ref[i, 3]
-        inv = p_ref[i, 4]
+        qa = p_ref[i, 0]
+        qb = p_ref[i, 1]
+        qc = p_ref[i, 2]
         a3 = co_ref[0]
         a2 = co_ref[1]
         a1 = co_ref[2]
         beta = co_ref[3]
 
         xin = x_ref[0]  # (H, W) tile
-        dt = xin.dtype
         if replicate_pad:
             # replicate-pad rows and columns by the kernel half-support in
             # VMEM (pad_with_kernel semantics, utils.py:48-53)
@@ -155,145 +236,108 @@ def _make_kernel(margin: int, replicate_pad: bool, clip: bool, half: int):
             right = jnp.broadcast_to(xin[:, -1:], (xin.shape[0], half))
             xin = jnp.concatenate([left, xin, right], axis=1)
         h = h_in + 2 * half if replicate_pad else h_in
-        w_in = w_raw + 2 * half if replicate_pad else w_raw
-        # Canvas geometry must MATCH ops.sep_poly's XLA composition exactly
-        # (8-aligned width, centered content): the spectral fold's ideal
-        # interpolator has global support, so unlike the compact spatial
-        # taps its result depends on the full circle geometry.
-        wc = ((w_in + 2 * margin + 7) // 8) * 8
-        pad_l = (wc - w_in) // 2
-        zl = jnp.zeros((h, pad_l), dt)
-        zr = jnp.zeros((h, wc - w_in - pad_l), dt)
-        x = jnp.concatenate([zl, xin, zr], axis=1)  # (H, Wc)
-        xf = x.astype(jnp.float32)
+        # The canvas IS the (padded) tile: the operator is circular on
+        # exactly the reference fft method's p2o geometry — no margin.
+        xf = xin.astype(jnp.float32)
 
-        vm = _band_operator(coef_v, inv, h, dt, half)
-        cf = cf_ref[...]
-        sfm = sf_ref[...]
-        ai = ai_ref[...]
-        bi = bi_ref[...]
-        mdt = cf.dtype
-
-        def vconv(u):  # sum_z vm[y, z] u[z, k]
-            return jax.lax.dot(vm, u.astype(dt),
-                               preferred_element_type=jnp.float32)
-
-        # spectral-x chain: rfft -> phase shear -> V / Ghat Horner ->
-        # Ghat * conj(phase) -> irfft (see ops.sep_poly docstring)
-        re = jax.lax.dot(xf.astype(mdt), cf,
-                         preferred_element_type=jnp.float32)
-        im = -jax.lax.dot(xf.astype(mdt), sfm,
-                          preferred_element_type=jnp.float32)
-        ca, sa = _spec_phase(s, h, wc)
-        gh = _tap_spectrum_k(coef_x, inx, wc, half)
-        tr = vconv(re * ca - im * sa)
-        ti = vconv(re * sa + im * ca)
-        rr = a3 * tr
-        ri = a3 * ti
-        rr = a2 * tr + vconv(gh * rr)
-        ri = a2 * ti + vconv(gh * ri)
-        rr = a1 * tr + vconv(gh * rr)
-        ri = a1 * ti + vconv(gh * ri)
-        orr = gh * (rr * ca + ri * sa)
-        ori = gh * (ri * ca - rr * sa)
-        out = beta * xf \
-            + jax.lax.dot(orr.astype(mdt), ai,
-                          preferred_element_type=jnp.float32) \
-            + jax.lax.dot(ori.astype(mdt), bi,
-                          preferred_element_type=jnp.float32)
+        khat = _kernel_spectrum_block(qa, qb, qc, er_ref[...], ei_ref[...],
+                                      cyt_ref[...], syt_ref[...], half)
+        qhat = ((a3 * khat + a2) * khat + a1) * khat + beta
+        qhat2 = jnp.concatenate([qhat, qhat], axis=1) * (1.0 / h)
+        kp = er_ref.shape[1]
+        out = _spectral_poly_block(xf, qhat2, fwd_ref[...], inv_ref[...],
+                                   cy_ref[...], sy_ref[...], kp)
         if clip:
             out = jnp.clip(out, 0.0, 1.0)
         if replicate_pad:
             out_ref[0] = out[half:h - half,
-                             pad_l + half:pad_l + w_in - half].astype(
-                                 out_ref.dtype)
+                             half:half + w_raw].astype(out_ref.dtype)
         else:
-            out_ref[0] = out[:, pad_l:pad_l + w_in].astype(out_ref.dtype)
+            out_ref[0] = out.astype(out_ref.dtype)
 
     return kernel
 
 
-def _fused_call(x, params, coeffs, margin, replicate_pad=False,
+def _fused_call(x, params, coeffs, replicate_pad=False,
                 clip=False, interpret=False, half=12):
-    n, h, w_in = x.shape
-    wk = (w_in + 2 * half) if replicate_pad else w_in
-    wc = ((wk + 2 * margin + 7) // 8) * 8
-    K = wc // 2 + 1
-    cf, sf, ai, bi = _dft_operands(wc, x.dtype)
+    n, h_in, w_in = x.shape
+    pad = 2 * half if replicate_pad else 0
+    h = h_in + pad
+    wc = w_in + pad
+    kp = _packed_k(wc)
+    fwd, inv = _dft_operands_packed(wc, x.dtype)
+    cy, sy = _ydft_operands(h, x.dtype)
+    er, ei, cyt, syt = (jnp.asarray(m) for m in _tap_tables_np(h, wc, half))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n,),
-        in_specs=[pl.BlockSpec((1, h, w_in), lambda i, *_: (i, 0, 0)),
-                  pl.BlockSpec((wc, K), lambda i, *_: (0, 0)),
-                  pl.BlockSpec((wc, K), lambda i, *_: (0, 0)),
-                  pl.BlockSpec((K, wc), lambda i, *_: (0, 0)),
-                  pl.BlockSpec((K, wc), lambda i, *_: (0, 0))],
-        out_specs=pl.BlockSpec((1, h, w_in), lambda i, *_: (i, 0, 0)),
+        in_specs=[pl.BlockSpec((1, h_in, w_in), lambda i, *_: (i, 0, 0)),
+                  pl.BlockSpec((wc, 2 * kp), lambda i, *_: (0, 0)),
+                  pl.BlockSpec((2 * kp, wc), lambda i, *_: (0, 0)),
+                  pl.BlockSpec((h, h), lambda i, *_: (0, 0)),
+                  pl.BlockSpec((h, h), lambda i, *_: (0, 0)),
+                  pl.BlockSpec((128, kp), lambda i, *_: (0, 0)),
+                  pl.BlockSpec((128, kp), lambda i, *_: (0, 0)),
+                  pl.BlockSpec((h, 32), lambda i, *_: (0, 0)),
+                  pl.BlockSpec((h, 32), lambda i, *_: (0, 0))],
+        out_specs=pl.BlockSpec((1, h_in, w_in), lambda i, *_: (i, 0, 0)),
     )
     return pl.pallas_call(
-        _make_kernel(margin, replicate_pad, clip, half),
+        _make_kernel(replicate_pad, clip, half),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, h, w_in), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h_in, w_in), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(params.astype(jnp.float32), coeffs.astype(jnp.float32), x,
-      cf, sf, ai, bi)
+      fwd, inv, cy, sy, er, ei, cyt, syt)
 
 
-def _xla_reference(x, params, coeffs, margin, half=12):
+def _xla_reference(x, params, coeffs, half=12):
     """Equivalent XLA composition (same math; used for the backward pass
-    and as the CPU oracle) — delegates to ops.sep_poly's shared spectral
-    composition. Differentiable in x, params, coeffs; rfft-based, so its
-    autodiff never materializes banded operators in HBM (this is what
-    makes training through the fused kernel fast, VERDICT r2 weak #5)."""
-    from ..sep_poly import _spectral_composition
+    and as the CPU oracle) — delegates to ops.sep_poly's spectral
+    composition. Differentiable in x, params, coeffs."""
+    from ..sep_poly import _spectral2d
 
-    s = params[:, 0]
-    coef_x = params[:, 1]
-    coef_v = params[:, 2]
+    a = params[:, 0]
+    b = params[:, 1]
+    c = params[:, 2]
     a3, a2, a1, beta = coeffs[0], coeffs[1], coeffs[2], coeffs[3]
-    return _spectral_composition(x, s, coef_x, coef_v, (a3, a2, a1, beta),
-                                 half, margin)
+    return _spectral2d(x, a, b, c, (a3, a2, a1, beta), half)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def fused_polynomial_pallas(x, params, coeffs, margin, replicate_pad=False,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_polynomial_pallas(x, params, coeffs, replicate_pad=False,
                             clip=False, interpret=False, half=12):
-    """p(K) on a padded tile batch.
+    """p(K) on a (padded) tile batch.
 
-    :param x: (N, H, W) replicate-padded tiles (orientation already
-        resolved by the caller — rows are the sheared axis)
-    :param params: (N, 5) per-tile scalars
-        [shear slope s, sheared-axis quadratic coef a, orthogonal coef c',
-        1/sum of x-taps, 1/sum of y-taps]
+    :param x: (N, H, W) tiles (rectangles fine — no orientation transpose)
+    :param params: (N, 3) per-tile quadratic-form scalars [a, b, c]
+        (ops.sep_poly.gaussian_quadratic_coeffs)
     :param coeffs: (4,) Horner coefficients [a3, a2, a1, beta]
-    :param margin: static canvas margin (= sep_poly.safe_margin, lanes)
-    :param half: static kernel half-support (ker_size // 2)
+    :param half: static kernel half-support (ker_size // 2, <= 15)
     """
-    return _fused_call(x, params, coeffs, margin,
-                       replicate_pad=replicate_pad, clip=clip,
-                       interpret=interpret, half=half)
+    return _fused_call(x, params, coeffs, replicate_pad=replicate_pad,
+                       clip=clip, interpret=interpret, half=half)
 
 
-def _fwd(x, params, coeffs, margin, replicate_pad, clip, interpret, half):
-    out = _fused_call(x, params, coeffs, margin,
-                      replicate_pad=replicate_pad, clip=clip,
-                      interpret=interpret, half=half)
+def _fwd(x, params, coeffs, replicate_pad, clip, interpret, half):
+    out = _fused_call(x, params, coeffs, replicate_pad=replicate_pad,
+                      clip=clip, interpret=interpret, half=half)
     return out, (x, params, coeffs)
 
 
-def _bwd(margin, replicate_pad, clip, interpret, half, res, g):
+def _bwd(replicate_pad, clip, interpret, half, res, g):
     x, params, coeffs = res
 
     def ref_fn(x_, p_, c_):
         if replicate_pad:
             xp = jnp.pad(x_, [(0, 0), (half, half), (half, half)],
                          mode="edge")
-            out = _xla_reference(xp, p_, c_, margin, half)
+            out = _xla_reference(xp, p_, c_, half)
             out = out[:, half:-half, half:-half]
         else:
-            out = _xla_reference(x_, p_, c_, margin, half)
+            out = _xla_reference(x_, p_, c_, half)
         return jnp.clip(out, 0.0, 1.0) if clip else out
 
     _, vjp = jax.vjp(ref_fn, x, params, coeffs)

@@ -1,51 +1,39 @@
-"""Shear-factorized separable polynomial deconvolution — the TPU hot path.
+"""Spectral polynomial deconvolution with parametric kernels — the TPU hot
+path behind the reference's ``method='direct_separable'`` surface.
 
-Replaces the FFT polynomial filter (restoration.compute_polynomial_fft) and
-the grouped direct convolution with shear + 1D-conv work. The anisotropic
-Gaussian kernel exp(-0.5 (a x^2 + 2 b xy + c y^2)) factorizes exactly as
+The estimator's sampled anisotropic Gaussian kernel
 
-    K = unshear_s . conv_y(c')  . conv_x(a) . shear_s,
-    s = -b / a,   c' = c - b^2 / a
+    k[t, j] = exp(-0.5 (a t^2 + 2 b t j + c j^2)) / N,   t, j in [-half, half]
 
-(sheared-axis separability; same decomposition as the reference's native
-oriented-convolution kernel, separable_gaussian2d.cpp:91-183) — or the
-transposed factorization with slope -b / c. Since a c >= b^2, the
-orientation with the larger coefficient always has |slope| <= 1, so the
-per-sample orientation auto-select below makes the ``smax`` clamp inert for
-EVERY (sigma, rho, theta) the estimator can produce (round-2's fixed row
-orientation lost 20-40 dB in the |s| = 1.5-2.5 band; VERDICT r2 weak #2).
+is centrally symmetric, so its OTF on the padded canvas — ``p2o`` of the
+kernel, filters.py:255 — is REAL and ANALYTIC in the quadratic form
+(a, b, c): two tiny matmuls produce K_hat, and the whole degree-3
+polynomial is DIAGONAL in the 2D DFT domain of the replicate-padded tile:
 
-The shear commutes with every per-row operation, so the *entire* degree-3
-polynomial p(K) collapses to ONE boundary-transform pair around a Horner
-chain of 1D convolutions — and both the circular shear and the x-axis
-Gaussian conv are DIAGONAL in the x-frequency domain (an ideal phase ramp
-and a cosine tap spectrum). Exploiting X V = V X (different axes), the
-whole chain is evaluated spectrally along x with one rfft/irfft pair:
+    p(K) u = idft2( p(K_hat) * dft2(u_padded) ),
+    p(z)   = ((a3 z + a2) z + a1) z + beta.
 
-    p(K) u = beta u + irfft( Ghat conj(ph) [a1 + V Ghat a2 + (V Ghat)^2 a3]
-                             ( V ( ph . rfft(u) ) ) )
+This is EXACTLY the reference's fft method (deblurring.py:141-169) — the
+same circular canvas, the same sampled-kernel spectrum — evaluated as MXU
+matmul DFTs inside Pallas kernels on TPU (ops/pallas/sep_poly_fused.py) and
+as ``rfft2`` elsewhere. No approximation error of any kind beyond f32
+round-off.
 
-The phase-ramp shear is the IDEAL circular interpolator — zero
-interpolation error on both boundary transforms. Measured on the full
-3-iteration pipeline vs the fft reference at full resolution: 37.6 dB
-(round-2 Keys/row-only spatial ordering) -> 52.2 dB; and it removes every
-per-row roll pass from the TPU kernels (rolls were ~60% of the round-2/3
-mega-kernel runtime — the DFTs are MXU matmuls instead).
+Design history: rounds 2-3 used a sheared-axis separable factorization
+(K = unshear . conv_y . conv_x . shear) with an ideal phase-ramp shear.
+That operator's only remaining error — band-limited interpolation of the
+FRACTIONALLY-SHIFTED narrow x-Gaussian's integer samples (the estimator's
+rho clamp floor is 0.3 px, far below Nyquist-safe) — measured ~58 dB per
+application at rho ~ 0.4, and the pipeline's global-max gradient statistic
+amplified that feedback into per-iteration estimate drift worth
+0.13-0.22 dB of restoration strength vs the reference. The exact spectrum
+costs ~6 packed matmuls per application vs the shear chain's 5 on a
+SMALLER canvas (no shear margin, no orientation transpose, no square
+working frame), and removes the corner-wrap caveat, the |s| clamp, and the
+margin-fitting machinery entirely.
 
-In-VMEM Pallas kernels (ops/pallas/sep_poly_fused.py) run this per tile on
-TPU; the XLA composition below (rfft + grouped y-convolutions — no banded
-operator ever materializes in HBM, which also makes its autodiff cheap)
-serves as CPU path, oracle, and backward pass.
-
-Boundary semantics: the circular shear carries per-row displacements up to
-|s| * H/2, so CORNER zones (extreme rows x border columns, where the
-displacement exceeds the canvas margin plus the border distance) read
-wrapped far-side content — analogous to the reference fft method's own
-circular boundary (p2o wraps, filters.py:255). The zone is empty for
-|s| * H/2 <= margin, is suppressed by the patch engine's Kaiser window,
-and the blocked route's local row centers shrink it further; interiors are
-always exact. Callers needing reference-'direct'-style clamped borders
-should pad accordingly.
+Boundary semantics now match the reference fft method exactly: replicate
+pad by half the support, circular beyond that (p2o wraps).
 """
 
 from __future__ import annotations
@@ -56,68 +44,30 @@ import jax
 import jax.numpy as jnp
 
 
-__all__ = ["compute_polynomial_separable", "gaussian_quadratic_coeffs",
-           "orientation_params", "safe_margin"]
+__all__ = ["compute_polynomial_separable", "spectral_blur",
+           "gaussian_quadratic_coeffs", "kernel_spectrum"]
 
-# Largest per-program canvas edge (rows or sheared-canvas columns) for
-# which the fused Pallas kernel's two band operators + canvas stay
-# VMEM-resident. 768 admits a 640px whole image (640 + 2*12 prepad + the
-# safe_margin shear apron) — the same capability envelope as round 2.
-_FUSED_MAX_CANVAS = 768
-
-
-def safe_margin(half: int, smax: float) -> int:
-    """Circular-shear canvas margin that keeps the degree-3 chain
-    alias-free: the composite operator's one-sided x-reach is three kernel
-    applications of (conv half-support + shear-aligned vertical support),
-    i.e. ~ half * (1 + 3 smax), plus interpolation/spectral-leak slack that
-    grows with the slope. Measured breakpoints (CPU, vs the exact direct
-    oracle): |s|<=0.57 needs <=18, |s|=0.82 needs ~45, |s|=0.99 needs ~55 —
-    the slope-scaled slack term keeps the formula at or above all three."""
-    return int(math.ceil(half * (1.0 + 3.0 * smax) + 4.0 * smax)) + 3
+# Largest canvas edge (rows or columns, incl. the fused replicate pad) for
+# which the single-program fused Pallas kernel keeps its canvas, packed
+# spectra and DFT tables VMEM-resident. 664 admits a 640px whole image
+# (640 + 2*12 prepad) — the same capability envelope as rounds 2-3.
+_FUSED_MAX_CANVAS = 664
 
 
-def _canvas_width(w: int, margin: int) -> int:
-    """Shear canvas width: image + shear margins, rounded up to 8 lanes."""
-    return int((w + 2 * margin + 7) // 8 * 8)
-
-
-def _fitted_margin(w_in: int, half: int, smax: float) -> int:
-    """Alias margin for the VMEM-resident kernels, fitted to the 128-lane
-    VMEM tiling.
-
-    Mosaic pads the canvas's lane dimension to a multiple of 128, so a
-    margin that pushes ``w_in + 2*margin`` just past a lane-tile boundary
-    makes every canvas matmul pay for a whole extra tile column (the
-    400px-tile canvas crossing 512 -> 640 physical lanes cost ~35% of the
-    round-2 headline). Use the largest margin that stays within the lane
-    tiles required by the floor margin ``half*(1+1.5*smax)`` (alias-exact
-    for |s| <= ~0.75 — beyond it wrap residue stays ~45+ dB down), capped
-    at the fully-safe :func:`safe_margin`. The XLA composition keeps the
-    full safe margin (no lane-tile penalty off-TPU).
-    """
-    safe = safe_margin(half, smax)
-    floor = int(math.ceil(half * (1.0 + 1.5 * smax))) + 3
-    phys = -(-(w_in + 2 * floor) // 128) * 128
-    fit = (phys - w_in) // 2
-    return min(safe, max(floor, fit))
-
-
-def _fused_path_eligible(h: int, w: int, margin: int, prepad: bool,
+def _fused_path_eligible(h: int, w: int, prepad: bool,
                          backend: str | None = None, half: int = 12) -> bool:
     """Whether the single-program fused Pallas kernel can run this shape.
 
     With ``prepad`` the kernel replicate-pads internally by the half
     support, growing the VMEM-resident canvas by 2*half on both axes — the
-    guard must account for that or the operators overflow VMEM.
+    guard must account for that or the buffers overflow VMEM.
     """
     if backend is None:
         backend = jax.default_backend()
     if backend != "tpu":
         return False
     pad = 2 * half if prepad else 0
-    edge = max(h, w) + pad  # square working-frame edge
-    return max(edge, _canvas_width(edge, margin)) <= _FUSED_MAX_CANVAS
+    return max(h, w) + pad <= _FUSED_MAX_CANVAS
 
 
 def gaussian_quadratic_coeffs(sigma, rho, theta):
@@ -138,73 +88,81 @@ def gaussian_quadratic_coeffs(sigma, rho, theta):
     return a, b, c
 
 
-def orientation_params(a, b, c, smax: float = 1.0):
-    """Per-sample shear-orientation auto-select.
+def kernel_spectrum(a, b, c, h: int, w: int, half: int = 12) -> jnp.ndarray:
+    """(N, h, w//2+1) real OTF of the sampled anisotropic Gaussian on the
+    (h, w) circular canvas — ``p2o(batch_gaussian_kernels(...), (h, w))``
+    evaluated analytically (the kernel is centrally symmetric, so the
+    imaginary part is identically zero).
 
-    Returns ``(use_col, s, a_eff, c_prime)``: ``use_col`` picks the column
-    (transposed) factorization when c > a, which guarantees
-    |s| = |b| / max(a, c) <= |b| / sqrt(a c) <= 1 for any positive-definite
-    form — the ``smax`` clamp (kept as a numerical guard) never bites.
-    ``a_eff`` is the conv coefficient along the sheared axis of the WORKING
-    frame, ``c_prime`` the orthogonal (Schur-complement) coefficient.
+    Factorized: per row-offset j, the 1D tap row's x-spectrum H_j is a
+    25-tap cosine/sine sum; the y-offset phases then combine the 2*half+1
+    rows — O(half^2 (K + h)) instead of O(h w half^2).
     """
-    use_col = c > a
-    a_eff = jnp.where(use_col, c, a)
-    c_eff = jnp.where(use_col, a, c)
-    s = jnp.clip(-b / a_eff, -smax, smax)
-    c_prime = jnp.maximum(c_eff - (b * b) / a_eff, 1e-4)
-    return use_col, s, a_eff, c_prime
-
-
-def _gauss_taps(coef, half, dtype):
-    """L1-normalized 2*half+1 taps of exp(-0.5 * coef * t^2). coef: (N,)."""
     t = jnp.arange(-half, half + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * coef[:, None] * (t * t)[None, :])
-    return (k / jnp.sum(k, axis=-1, keepdims=True)).astype(dtype)
+    af = a.astype(jnp.float32)[:, None, None]
+    bf = b.astype(jnp.float32)[:, None, None]
+    cf = c.astype(jnp.float32)[:, None, None]
+    tx = t[None, None, :]
+    ty = t[None, :, None]
+    km = jnp.exp(-0.5 * (af * tx * tx + 2.0 * bf * tx * ty + cf * ty * ty))
+    km = km / jnp.sum(km, axis=(-2, -1), keepdims=True)  # (N, j, t)
+    K = w // 2 + 1
+    wk = jnp.arange(K, dtype=jnp.float32)
+    angx = (2.0 * math.pi / w) * t[:, None] * wk[None, :]  # (t, K)
+    hr = jnp.einsum("njt,tk->njk", km, jnp.cos(angx))
+    hi = -jnp.einsum("njt,tk->njk", km, jnp.sin(angx))
+    q = jnp.arange(h, dtype=jnp.float32)
+    angy = (2.0 * math.pi / h) * q[:, None] * t[None, :]   # (q, j)
+    return (jnp.einsum("qj,njk->nqk", jnp.cos(angy), hr)
+            + jnp.einsum("qj,njk->nqk", jnp.sin(angy), hi))
 
 
-def _tap_inv_norm(coef, half: int = 12):
-    """1 / sum of the RAW (unnormalized) Gaussian taps. coef: (N,)."""
-    t = jnp.arange(-half, half + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * coef[:, None] * (t * t)[None, :])
-    return 1.0 / jnp.sum(k, axis=-1)
+def _horner_spectrum(khat, horner):
+    a3, a2, a1, beta = horner
+    return ((a3 * khat + a2) * khat + a1) * khat + beta
 
 
-def _conv_rows(u: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample 'same' 1D convolution along the last axis (zero pad).
+def _spectral2d(x: jnp.ndarray, a, b, c, horner, half: int) -> jnp.ndarray:
+    """p(K) on an (N, H, W) canvas batch — circular, exact.
 
-    u (N, H, W), taps (N, K) -> (N, H, W). Grouped conv keeps every
-    sample's taps separate without materializing (N, W, W) band operators
-    in HBM (round-2's banded-matmul composition cost ~100 MB of operator
-    tensors at 12MP and dominated the backward pass — VERDICT r2 weak #5).
+    CPU route: ``rfft2`` / ``irfft2``. TPU route (training / ``prefer_xla``
+    backward): the DFTs as explicit matmuls — XLA lowers non-power-of-two
+    FFTs via Bluestein poorly while MXU matmuls are ~free; this is also the
+    backward pass of the fused Pallas kernels (natively differentiable in
+    x AND in (a, b, c) — the analytic spectrum is smooth in the quadratic
+    form, so gradients flow to (sigma, rho, theta)).
     """
-    n = u.shape[0]
-    out = jax.lax.conv_general_dilated(
-        u[None], taps[:, None, None, :], (1, 1), "SAME",
-        feature_group_count=n,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)
-    return out[0].astype(u.dtype)
+    n, h, w = x.shape
+    dt = x.dtype
+    qhat = _horner_spectrum(kernel_spectrum(a, b, c, h, w, half), horner)
+    if jax.default_backend() == "tpu":
+        from .pallas.sep_poly_fused import _dft_mats_np, _ydft_mats_np
 
-
-def _conv_cols(u: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
-    n = u.shape[0]
-    out = jax.lax.conv_general_dilated(
-        u[None], taps[:, None, :, None], (1, 1), "SAME",
-        feature_group_count=n,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)
-    return out[0].astype(u.dtype)
-
-
-def _cond_transpose(x: jnp.ndarray, use_col: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample conditional spatial transpose of a square (N, M, M)
-    batch."""
-    return jnp.where(use_col[:, None, None], jnp.swapaxes(x, -1, -2), x)
+        cfm, sfm, ai, bi = (jnp.asarray(m) for m in _dft_mats_np(w))
+        cy, sy = (jnp.asarray(m) for m in _ydft_mats_np(h))
+        hi = jax.lax.Precision.HIGHEST
+        xf = x.astype(jnp.float32)
+        re = jnp.einsum("nhw,wk->nhk", xf, cfm, precision=hi)
+        im = -jnp.einsum("nhw,wk->nhk", xf, sfm, precision=hi)
+        re2 = (jnp.einsum("qy,nyk->nqk", cy, re, precision=hi)
+               + jnp.einsum("qy,nyk->nqk", sy, im, precision=hi))
+        im2 = (jnp.einsum("qy,nyk->nqk", cy, im, precision=hi)
+               - jnp.einsum("qy,nyk->nqk", sy, re, precision=hi))
+        pr = qhat * re2 * (1.0 / h)
+        pi = qhat * im2 * (1.0 / h)
+        re3 = (jnp.einsum("yq,nqk->nyk", cy.T, pr, precision=hi)
+               - jnp.einsum("yq,nqk->nyk", sy.T, pi, precision=hi))
+        im3 = (jnp.einsum("yq,nqk->nyk", cy.T, pi, precision=hi)
+               + jnp.einsum("yq,nqk->nyk", sy.T, pr, precision=hi))
+        out = (jnp.einsum("nyk,kw->nyw", re3, ai, precision=hi)
+               + jnp.einsum("nyk,kw->nyw", im3, bi, precision=hi))
+        return out.astype(dt)
+    X = jnp.fft.rfft2(x.astype(jnp.float32))
+    return jnp.fft.irfft2(qhat * X, s=(h, w)).astype(dt)
 
 
 def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
-                                 alpha, beta, smax: float = 1.0,
+                                 alpha, beta,
                                  prepad: bool = False,
                                  clip: bool = False,
                                  ker_size: int = 25,
@@ -217,47 +175,63 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
         instead of three); otherwise the caller has padded already.
     :param sigma, rho, theta: (B, C) or (B, 1) per-sample blur parameters
     :param alpha, beta: scalar (or traced) polynomial gains
-    :param ker_size: static 1D tap support (reference ker_size surface,
-        deblurring.py:23); margins and taps derive from it.
+    :param ker_size: static tap support (reference ker_size surface,
+        deblurring.py:23); the analytic spectrum samples exactly the
+        ker_size x ker_size kernel the estimator would build.
     :return: same shape as ``img``
 
-    Convolutions accumulate in f32 regardless of image dtype. ``smax``
-    clamps the shear slope, but the per-sample orientation auto-select
-    (:func:`orientation_params`) bounds the chosen slope by 1, so the
-    default clamp is a numerical guard, not an approximation — the operator
-    is within interpolation error of the exact direct convolution across
-    the estimator's entire (sigma, rho, theta) range (pinned by
-    tests/test_kernels.py::test_orientation_select_extremes).
+    Spectra and accumulations are f32 regardless of image dtype. The
+    result equals ``compute_polynomial_fft`` with the estimator's 2D
+    kernel to f32 round-off on every (sigma, rho, theta) — the two
+    backends are the same operator, evaluated by FFT or by MXU matmuls.
     """
+    a3 = (alpha / 2.0 - beta + 2.0)
+    a2 = (3.0 * beta - alpha - 6.0)
+    a1 = (5.0 - 3.0 * beta + alpha / 2.0)
+    return _apply_param_operator(img, sigma, rho, theta, (a3, a2, a1, beta),
+                                 prepad=prepad, clip=clip, ker_size=ker_size,
+                                 prefer_xla=prefer_xla)
+
+
+def spectral_blur(img: jnp.ndarray, sigma, rho, theta, ker_size: int = 25,
+                  prefer_xla: bool = False) -> jnp.ndarray:
+    """One application of the sampled-kernel blur K — circular convolution
+    with the estimator's 2D kernel on the given canvas, i.e. exactly the
+    reference's ``convolve2d(img, kernel, method='fft')``
+    (filters.py:14-37). Used by the edgetaper blend for parametric
+    kernels. Degree-1 spectrum: p(z) = z."""
+    return _apply_param_operator(img, sigma, rho, theta,
+                                 (0.0, 0.0, 1.0, 0.0),
+                                 prepad=False, clip=False, ker_size=ker_size,
+                                 prefer_xla=prefer_xla)
+
+
+def _apply_param_operator(img, sigma, rho, theta, horner,
+                          prepad: bool, clip: bool, ker_size: int,
+                          prefer_xla: bool) -> jnp.ndarray:
+    """Shared routing for spectrum-diagonal parametric operators: the
+    fused Pallas kernel when the canvas fits VMEM, the blocked
+    overlap-save route for larger TPU canvases, the XLA composition
+    elsewhere (and for autodiff)."""
     from ..utils.profiling import record_dispatch
 
     if sigma.ndim != 2:
         raise ValueError("sigma/rho/theta must be (B, C') arrays")
     bsz, csz, h, w = img.shape
     half = ker_size // 2
-    # ONE margin policy for every route (kernel and XLA composition must
-    # share the exact canvas geometry — the spectral fold has global
-    # support, so differing circles differ at the 1e-3 level)
-    w_in_k = max(h, w) + (2 * half if prepad else 0)
-    margin = _fitted_margin(w_in_k, half, smax)
-    # prefer_xla (training / differentiation): skip the Pallas routes — the
-    # spectral composition is natively differentiable, so autodiff never
-    # pays a custom-vjp forward replay (the blocked route's replay over
-    # apron blocks made backward ~2.5x * 3 passes more expensive than the
-    # operator itself; VERDICT r2 weak #5).
+    if half > 15:
+        raise ValueError("ker_size > 31 exceeds the kernel tap tables")
     use_fused = (not prefer_xla
-                 and _fused_path_eligible(h, w, margin, prepad, half=half))
-    if use_fused:
-        record_dispatch("compute_polynomial_separable", "pallas_fused")
+                 and _fused_path_eligible(h, w, prepad, half=half))
     if prepad and not use_fused:
         record_dispatch("compute_polynomial_separable", "xla_sep/prepad")
         # The fused kernel (which folds the replicate pad in) won't run —
         # either off-TPU or too large for VMEM. Apply pad_with_kernel
-        # semantics explicitly around the XLA composition.
-        out = compute_polynomial_separable(
+        # semantics explicitly around the spectral composition.
+        out = _apply_param_operator(
             jnp.pad(img, [(0, 0), (0, 0), (half, half), (half, half)],
                     mode="edge"),
-            sigma, rho, theta, alpha, beta, smax=smax, prepad=False,
+            sigma, rho, theta, horner, prepad=False, clip=False,
             ker_size=ker_size, prefer_xla=prefer_xla)
         out = out[..., half:-half, half:-half]
         return jnp.clip(out, 0.0, 1.0) if clip else out
@@ -270,214 +244,84 @@ def compute_polynomial_separable(img: jnp.ndarray, sigma, rho, theta,
         rho.reshape(-1).astype(jnp.float32),
         theta.reshape(-1).astype(jnp.float32))
     n = bsz * csz
-    use_col, s, a_eff, c_prime = orientation_params(a, b, c, smax)
-
-    # Work on a square canvas so the per-sample orientation transpose is a
-    # plain elementwise select; non-square inputs are edge-padded out to
-    # max(h, w) (the appended rows/columns only replicate borders the
-    # 'same' convolutions would see anyway, and are cropped back). The
-    # orientation is data-dependent (use_col traces through the estimates),
-    # so a static rectangular frame cannot host the select — whole
-    # non-square images pay up to max/min extra pixels here; the library's
-    # method='auto' avoids this by tiling large images into square tiles.
     x = img.reshape(n, h, w)
-    m_sz = max(h, w)
-    if h != w:
-        x = jnp.pad(x, [(0, 0), (0, m_sz - h), (0, m_sz - w)], mode="edge")
-    x = _cond_transpose(x, use_col)
-
-    a3 = (alpha / 2.0 - beta + 2.0)
-    a2 = (3.0 * beta - alpha - 6.0)
-    a1 = (5.0 - 3.0 * beta + alpha / 2.0)
+    a3, a2, a1, beta = horner
 
     if use_fused:
         # One fused VMEM-resident Pallas program per (tile, channel); the
-        # band operators are rebuilt analytically in VMEM from 5 scalars
-        # per tile (materializing them in HBM costs more than the matmuls
-        # that consume them).
+        # kernel spectrum is rebuilt analytically in VMEM from 3 scalars
+        # per tile.
         from .pallas.sep_poly_fused import fused_polynomial_pallas
 
-        inv_nx = _tap_inv_norm(a_eff, half)
-        inv_nv = _tap_inv_norm(c_prime, half)
-        params = jnp.stack([s, a_eff, c_prime, inv_nx, inv_nv], axis=-1)
+        record_dispatch("compute_polynomial_separable", "pallas_fused")
+        params = jnp.stack([a, b, c], axis=-1)
         coeffs = jnp.stack([jnp.asarray(v, jnp.float32)
                             for v in (a3, a2, a1, beta)])
-        out = fused_polynomial_pallas(x, params, coeffs, margin,
-                                      prepad, False, half=half)
-        out = _cond_transpose(out, use_col)
-        out = out[:, :h, :w].reshape(bsz, csz, h, w)
+        out = fused_polynomial_pallas(x, params, coeffs, prepad, False,
+                                      half=half)
+        out = out.reshape(bsz, csz, h, w)
         return jnp.clip(out, 0.0, 1.0) if clip else out
 
     if jax.default_backend() == "tpu" and not prefer_xla:
         # Block-grid fused route: any-size whole images through the same
-        # VMEM-resident kernel over overlapping apron blocks (kills the
-        # round-2 640px cliff where the composition materialized
-        # (N, W, W)/(N, H, H) band operators in HBM; VERDICT r2 weak #3).
+        # VMEM-resident kernel via exact overlap-save blocking (the
+        # operator's reach is 3*half, so apron blocks cut from the
+        # wrap-extended canvas reproduce the circular whole-canvas result
+        # bit-for-bit on block interiors).
         record_dispatch("compute_polynomial_separable", "pallas_blocked")
-        out = _blocked_polynomial(x, s, a_eff, c_prime,
-                                  (a3, a2, a1, beta), half, margin)
-        out = _cond_transpose(out, use_col)
-        out = out[:, :h, :w].reshape(bsz, csz, h, w)
+        out = _blocked_polynomial(x, a, b, c, (a3, a2, a1, beta), half)
+        out = out.reshape(bsz, csz, h, w)
         return jnp.clip(out, 0.0, 1.0) if clip else out
 
     record_dispatch("compute_polynomial_separable", "xla_sep")
-    out = _spectral_composition(x, s, a_eff, c_prime, (a3, a2, a1, beta),
-                                half, margin)
-    out = _cond_transpose(out, use_col)
-    out = out[:, :h, :w].reshape(bsz, csz, h, w)
+    out = _spectral2d(x, a, b, c, (a3, a2, a1, beta), half)
+    out = out.reshape(bsz, csz, h, w)
     return jnp.clip(out, 0.0, 1.0) if clip else out
 
 
-def _tap_spectrum(coef, half: int, wc: int, n_freq: int) -> jnp.ndarray:
-    """(N, K) real spectrum of the L1-normalized 2*half+1 Gaussian taps on
-    the circle of circumference ``wc`` (symmetric taps -> cosine sum)."""
-    k = jnp.arange(n_freq, dtype=jnp.float32)
-    taps = jnp.arange(-half, half + 1, dtype=jnp.float32)
-    kt = jnp.exp(-0.5 * coef.astype(jnp.float32)[:, None] * taps[None] ** 2)
-    kt = kt / jnp.sum(kt, axis=-1, keepdims=True)
-    ang = (2.0 * math.pi / wc) * k[None, :] * taps[:, None]
-    return jnp.einsum("nt,tk->nk", kt, jnp.cos(ang))
-
-
-def _spectral_composition(x: jnp.ndarray, s, a_eff, c_prime, horner,
-                          half: int, margin: int) -> jnp.ndarray:
-    """p(K) on a square working-frame batch, spectral along x.
-
-    The circular shear and the x-axis Gaussian conv are both diagonal in
-    the x-frequency domain (an ideal-interpolation phase ramp and the tap
-    cosine spectrum), so the whole chain needs ONE rfft/irfft pair per
-    sample; only the y-axis convs touch the spatial y axis:
-
-        p(K) u = beta u + irfft( Ghat . conj(ph) .
-                                 [a1 + V Ghat a2 + (V Ghat)^2 a3]
-                                 ( V ( ph . rfft(u_canvas) ) ) )
-
-    The ideal phase-ramp shear has ZERO interpolation error (it replaced
-    the round-3-draft Lanczos shear + 27-tap spatial fold: +1.6 dB on the
-    full pipeline AND no whole-canvas roll passes — rolls were ~60% of the
-    mega kernel's runtime). In the Pallas kernels the identical math runs
-    as in-VMEM DFT matmuls (ops/pallas/sep_poly_fused.py).
-    """
-    n, h_sz, w_sz = x.shape
-    a3, a2, a1, beta = horner
-    dt = x.dtype
-    wc = _canvas_width(w_sz, margin)
-    pad_l = (wc - w_sz) // 2
-    xc = jnp.zeros((n, h_sz, wc), dt)
-    xc = xc.at[:, :, pad_l:pad_l + w_sz].set(x)
-
-    K = wc // 2 + 1
-    k = jnp.arange(K, dtype=jnp.float32)
-    gh = _tap_spectrum(a_eff, half, wc, K)[:, None, :]     # (N, 1, K)
-    yc = (h_sz - 1) / 2.0
-    rows = jnp.arange(h_sz, dtype=jnp.float32)
-    d = s.astype(jnp.float32)[:, None] * (rows[None, :] - yc)   # (N, H)
-    ph = jnp.exp(1j * (2.0 * math.pi / wc)
-                 * d[:, :, None] * k[None, None, :])       # shear by +d
-
-    # On TPU, XLA lowers both grouped 1D convolutions (~7 ms/pass at 1MP)
-    # and non-power-of-two rffts (Bluestein) poorly, while MXU matmuls are
-    # ~free — this path is the TRAINING backward (VERDICT r2 weak #5), so
-    # evaluate the DFTs as matmuls and the y-conv as banded matmuls there;
-    # CPU keeps pocketfft + grouped convs. precision=HIGHEST pins f32
-    # numerics (gradients match the CPU path to ~1e-6).
-    on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        from .pallas.sep_poly_fused import _dft_mats_np
-
-        cf, sf, ai, bi = (jnp.asarray(m) for m in _dft_mats_np(wc))
-        hi = jax.lax.Precision.HIGHEST
-        du = (jnp.arange(h_sz)[:, None]
-              - jnp.arange(h_sz)[None, :]).astype(jnp.float32)
-        vmat = jnp.where(
-            jnp.abs(du)[None] <= float(half),
-            jnp.exp(-0.5 * c_prime.astype(jnp.float32)[:, None, None]
-                    * du[None] ** 2)
-            * _tap_inv_norm(c_prime, half)[:, None, None],
-            0.0)  # (N, H, H) banded y-conv operator, no gathers
-
-        def vconv_ri(re, im):
-            return (jnp.einsum("nyz,nzk->nyk", vmat, re, precision=hi),
-                    jnp.einsum("nyz,nzk->nyk", vmat, im, precision=hi))
-
-        xf = xc.astype(jnp.float32)
-        re = jnp.einsum("nhw,wk->nhk", xf, cf, precision=hi)
-        im = -jnp.einsum("nhw,wk->nhk", xf, sf, precision=hi)
-        ca, sa = jnp.real(ph), jnp.imag(ph)
-        tr, ti = vconv_ri(re * ca - im * sa, re * sa + im * ca)
-        ghr = gh
-        rr, ri = a3 * tr, a3 * ti
-        vr, vi = vconv_ri(ghr * rr, ghr * ri)
-        rr, ri = a2 * tr + vr, a2 * ti + vi
-        vr, vi = vconv_ri(ghr * rr, ghr * ri)
-        rr, ri = a1 * tr + vr, a1 * ti + vi
-        orr = ghr * (rr * ca + ri * sa)
-        ori = ghr * (ri * ca - rr * sa)
-        out = (beta * xf
-               + jnp.einsum("nhk,kw->nhw", orr, ai, precision=hi)
-               + jnp.einsum("nhk,kw->nhw", ori, bi, precision=hi))
-        return out[:, :, pad_l:pad_l + w_sz].astype(dt)
-
-    kv = _gauss_taps(c_prime, half, dt)
-
-    def vconv(z):
-        return (_conv_cols(z.real.astype(dt), kv).astype(jnp.float32)
-                + 1j * _conv_cols(z.imag.astype(dt), kv).astype(jnp.float32))
-
-    t = vconv(jnp.fft.rfft(xc.astype(jnp.float32), axis=-1) * ph)
-    r = a3 * t
-    r = a2 * t + vconv(gh * r)
-    r = a1 * t + vconv(gh * r)
-    out = beta * xc.astype(jnp.float32) + jnp.fft.irfft(
-        gh * jnp.conj(ph) * r, n=wc, axis=-1)
-    return out[:, :, pad_l:pad_l + w_sz].astype(dt)
-
-
-def _blocked_polynomial(x: jnp.ndarray, s, a_eff, c_prime, horner,
-                        half: int, margin: int, block: int = 448,
+def _blocked_polynomial(x: jnp.ndarray, a, b, c, horner, half: int,
+                        block: int = 448,
                         interpret: bool = False) -> jnp.ndarray:
-    """p(K) on an arbitrarily large square working-frame batch via a 2D
-    block grid of the per-tile fused kernel.
+    """p(K) on an arbitrarily large (N, H, W) canvas batch via a 2D block
+    grid of the per-tile fused kernel — exact overlap-save.
 
-    Each block is cut with a true-content apron covering the composite
-    operator's support (vertical reach 3*half; horizontal reach
-    3*half*(1+|s|) <= 6*half since orientation select bounds |s| by 1), so
-    block interiors equal the unblocked whole-image composition exactly;
-    the outer apron ring is zero-padded, matching the unblocked zero
-    canvas. Extraction and reassembly are pure reshape decompositions
-    (patches._split_axis) — no gather chains, and the per-block canvases
-    are the only operator-sized buffers anywhere (VMEM-resident).
+    The whole-canvas operator is circular convolution with a kernel of
+    one-sided reach 3*half (three applications of half-support taps), so a
+    block whose apron of 3*half true-content pixels comes from the
+    WRAP-EXTENDED canvas reproduces the whole-canvas result exactly on its
+    core: the block's own circular wrap only contaminates the apron ring.
+    Extraction and reassembly are pure reshape decompositions
+    (patches._split_axis) — no gather chains; the per-block canvases are
+    the only operator-sized buffers anywhere (VMEM-resident).
 
-    :param x: (N, M, M) square working-frame batch (orientation resolved)
-    :param s, a_eff, c_prime: (N,) per-sample operator scalars
+    :param x: (N, H, W) canvas batch (rectangles fine)
+    :param a, b, c: (N,) per-sample quadratic-form scalars
     :param horner: (a3, a2, a1, beta) scalars
     """
     from ..patches import _split_axis
     from .pallas.sep_poly_fused import fused_polynomial_pallas
 
-    n, m, _ = x.shape
-    ay = 3 * half + 4
-    ax = 6 * half + 8
-    b0 = max(block, 2 * ax)  # _split_axis needs overlap <= 50%
-    t = -(-m // b0)
-    mp = t * b0
-    xp = jnp.pad(x, [(0, 0), (0, mp - m), (0, mp - m)])
-    xp = jnp.pad(xp, [(0, 0), (ay, ay), (ax, ax)])
-    rows = _split_axis(xp, t, b0, b0 + 2 * ay, axis=1)      # (Th,N,bh,W')
-    tiles = _split_axis(rows, t, b0, b0 + 2 * ax, axis=3)   # (Tw,Th,N,bh,bw)
-    bh, bw = b0 + 2 * ay, b0 + 2 * ax
-    blocks = tiles.reshape(t * t * n, bh, bw)
+    n, h, w = x.shape
+    ap = 3 * half + 4  # operator reach, +4 sublane-alignment slack
+    b0 = max(block, 2 * ap)  # _split_axis needs overlap <= 50%
+    th = -(-h // b0)
+    tw = -(-w // b0)
+    # wrap-extend by the apron (the canvas circle's own content), then
+    # zero-pad out to the block grid (those cores are cropped at the end)
+    xw = jnp.pad(x, [(0, 0), (ap, ap), (ap, ap)], mode="wrap")
+    xw = jnp.pad(xw, [(0, 0), (0, th * b0 - h), (0, tw * b0 - w)])
+    rows = _split_axis(xw, th, b0, b0 + 2 * ap, axis=1)      # (Th,N,bh,W')
+    tiles = _split_axis(rows, tw, b0, b0 + 2 * ap, axis=3)   # (Tw,Th,N,bh,bw)
+    bh, bw = b0 + 2 * ap, b0 + 2 * ap
+    blocks = tiles.reshape(tw * th * n, bh, bw)
 
-    reps = t * t
-    inv_nx = _tap_inv_norm(a_eff, half)
-    inv_nv = _tap_inv_norm(c_prime, half)
-    params = jnp.stack([s, a_eff, c_prime, inv_nx, inv_nv], axis=-1)
-    params = jnp.tile(params, (reps, 1))
+    reps = tw * th
+    params = jnp.tile(jnp.stack([a, b, c], axis=-1), (reps, 1))
     coeffs = jnp.stack([jnp.asarray(v, jnp.float32) for v in horner])
 
-    out = fused_polynomial_pallas(blocks, params, coeffs, margin,
-                                  False, False, interpret, half)
-    out = out.reshape(t, t, n, bh, bw)[:, :, :, ay:ay + b0, ax:ax + b0]
+    out = fused_polynomial_pallas(blocks, params, coeffs, False, False,
+                                  interpret, half)
+    out = out.reshape(tw, th, n, bh, bw)[:, :, :, ap:ap + b0, ap:ap + b0]
     # (Tw, Th, N, b0, b0) -> (N, Th*b0, Tw*b0)
-    out = out.transpose(2, 1, 3, 0, 4).reshape(n, mp, mp)
-    return out[:, :m, :m]
+    out = out.transpose(2, 1, 3, 0, 4).reshape(n, th * b0, tw * b0)
+    return out[:, :h, :w]

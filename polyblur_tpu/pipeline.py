@@ -40,14 +40,11 @@ _MEGA_MAX_TILE = 640
 # reject what Mosaic cannot compile: dispatch falls back to the composed
 # path instead of crashing the compiler.
 _MEGA_MAX_TILE_DT = 512
-# Orientation auto-select inside the mega kernel bounds |shear slope| by 1
-# (ops.sep_poly.orientation_params); the clamp is a numerical guard only.
-_MEGA_SMAX = 1.0
 
 
 def mega_tile_cap(prefiltering: bool, smoother: str) -> int:
-    """Largest square tile edge the mega kernel's scoped-VMEM stack admits
-    for this feature set (see the envelope note on ``_MEGA_MAX_TILE_DT``)."""
+    """Largest tile edge the mega kernel's scoped-VMEM stack admits for
+    this feature set (see the envelope note on ``_MEGA_MAX_TILE_DT``)."""
     return (_MEGA_MAX_TILE_DT
             if prefiltering and smoother == "domain_transform"
             else _MEGA_MAX_TILE)
@@ -56,42 +53,27 @@ def mega_tile_cap(prefiltering: bool, smoother: str) -> int:
 def _mega_static_ok(method, remat, discard_saturation, multichannel_kernel,
                     prefiltering, smoother, q, ker_size, n_angles,
                     n_interpolated_angles, h, w, disable=False) -> bool:
-    """Static eligibility of the whole-pipeline mega-kernel.
-
-    Square tiles only: the in-kernel shear-orientation auto-select works in
-    a conditionally transposed frame (non-square inputs take the composed
-    path, whose per-application fused kernel pads to square instead).
-    """
+    """Static eligibility of the whole-pipeline mega-kernel (rectangular
+    tiles are fine — the 2D-spectral operator has no orientation frame)."""
     cap = mega_tile_cap(prefiltering, smoother)
     return (method == "direct_separable" and not disable and not remat
             and not (discard_saturation or multichannel_kernel)
             and (not prefiltering
                  or smoother in ("bilateral", "domain_transform"))
             and q == 0.0 and ker_size == 25 and n_angles == 6
-            and n_interpolated_angles == 30 and h == w
+            and n_interpolated_angles == 30
             and max(h, w) <= cap
             and jax.default_backend() == "tpu")
 
 
-def _mega_pack(c, b, alpha, beta, sigma_s, sigma_r, tile_w=None):
-    """(coeffs array, margin) for the mega kernel.
-
-    ``tile_w`` (static tile width) fits the shear-canvas margin to the
-    128-lane VMEM tiling (ops.sep_poly._fitted_margin) — crossing a lane
-    tile costs ~35% mega throughput; without it the fully-safe margin is
-    used.
-    """
-    from .ops.sep_poly import _fitted_margin, safe_margin
-
+def _mega_pack(c, b, alpha, beta, sigma_s, sigma_r):
+    """(8,) coefficient array for the mega kernel:
+    [a3, a2, a1, beta, c, b, sigma_s, sigma_r]."""
     a3 = alpha / 2.0 - beta + 2.0
     a2 = 3.0 * beta - alpha - 6.0
     a1 = 5.0 - 3.0 * beta + alpha / 2.0
-    coeffs = jnp.stack([jnp.asarray(v, jnp.float32)
-                        for v in (a3, a2, a1, beta, c, b, _MEGA_SMAX,
-                                  sigma_s, sigma_r)])
-    if tile_w is None:
-        return coeffs, safe_margin(12, _MEGA_SMAX)
-    return coeffs, _fitted_margin(tile_w + 24, 12, _MEGA_SMAX)
+    return jnp.stack([jnp.asarray(v, jnp.float32)
+                      for v in (a3, a2, a1, beta, c, b, sigma_s, sigma_r)])
 
 
 def mega_padded_eligible(grid_info, ker_size: int = 25, q: float = 0.0,
@@ -154,13 +136,12 @@ def mega_restore_padded(padded: jnp.ndarray, grid_info, n_iter: int = 1,
     from .utils.profiling import record_dispatch
 
     record_dispatch("deblur_patches", "mega_image_dma")
-    coeffs, margin = _mega_pack(c, b, alpha, beta, sigma_s, sigma_r,
-                                tile_w=pw)
+    coeffs = _mega_pack(c, b, alpha, beta, sigma_s, sigma_r)
     prefilter = None
     if prefiltering:
         prefilter = "dt" if smoother == "domain_transform" else "bilateral"
     with jax.named_scope("polyblur.mega_image_dma"):
-        return polyblur_image_fused(padded, coeffs, n_iter, margin,
+        return polyblur_image_fused(padded, coeffs, n_iter,
                                     grid_info, do_taper=edgetaping,
                                     do_halo=remove_halo, prefilter=prefilter,
                                     pad_lanes=pad_lanes)
@@ -224,13 +205,12 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
         from .utils.profiling import record_dispatch
 
         record_dispatch("polyblur_core", "mega_pallas")
-        coeffs, margin = _mega_pack(c, b, alpha, beta, sigma_s, sigma_r,
-                                    tile_w=img.shape[-1])
+        coeffs = _mega_pack(c, b, alpha, beta, sigma_s, sigma_r)
         prefilter = None
         if prefiltering:
             prefilter = "dt" if smoother == "domain_transform" else "bilateral"
         with jax.named_scope("polyblur.mega_pallas"):
-            return polyblur_tiles_fused(img, coeffs, n_iter, margin,
+            return polyblur_tiles_fused(img, coeffs, n_iter,
                                         do_taper=edgetaping,
                                         do_halo=remove_halo,
                                         prefilter=prefilter)

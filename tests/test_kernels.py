@@ -1,12 +1,11 @@
-"""TPU-kernel correctness: shear transform, separable polynomial path,
-Pallas kernels (interpret mode on CPU), spectral-matmul gradients."""
+"""TPU-kernel correctness: the spectral polynomial path, Pallas kernels
+(interpret mode on CPU), spectral-matmul gradients."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from polyblur_tpu.ops.shear import _shear_rows_jnp, shear_rows
 from polyblur_tpu.ops.spectral_matmul import fourier_gradients_matmul
 from polyblur_tpu.ops.fourier import fourier_gradients
 from polyblur_tpu.ops.sep_poly import compute_polynomial_separable
@@ -15,111 +14,47 @@ from polyblur_tpu.restoration import compute_polynomial_direct
 from polyblur_tpu.utils.imaging import pad_with_kernel
 
 
-def test_shear_integer_shifts_exact():
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(size=(1, 8, 32)).astype(np.float32))
-    # s = 2: row y shifts by 2*(y - 3.5) — integers at no rows (half-ints);
-    # use s = 2 with even H offset: rows at y-3.5 -> fractional; instead
-    # test via explicit expectation on s=0
-    out = _shear_rows_jnp(x, jnp.asarray([0.0]), True)
-    np.testing.assert_allclose(out, x, atol=1e-6)
+def test_kernel_spectrum_matches_p2o():
+    """The analytic OTF (ops.sep_poly.kernel_spectrum) must equal p2o of
+    the estimator's sampled 2D kernel — this identity is what makes the
+    fast path the EXACT reference fft operator."""
+    from polyblur_tpu.ops.fourier import p2o
+    from polyblur_tpu.ops.sep_poly import (gaussian_quadratic_coeffs,
+                                           kernel_spectrum)
+
+    h, w = 92, 118
+    sg = jnp.asarray([0.74, 0.3, 4.0, 2.0])
+    rh = jnp.asarray([0.40, 0.3, 0.33, 1.0])
+    th = jnp.asarray([0.4189, 0.0, 1.1, 2.6])
+    kern = batch_gaussian_kernels(th[:, None], sg[:, None], rh[:, None], 25)
+    K_ref = p2o(kern, (h, w))[:, 0]                       # (N, h, w) complex
+    a, b, c = gaussian_quadratic_coeffs(sg, rh, th)
+    K_ana = kernel_spectrum(a, b, c, h, w, 12)            # (N, h, w//2+1)
+    assert np.abs(np.imag(np.asarray(K_ref))).max() < 1e-6
+    np.testing.assert_allclose(np.asarray(K_ana),
+                               np.real(np.asarray(K_ref))[..., :w // 2 + 1],
+                               atol=2e-6, rtol=0)
 
 
-def test_shear_matches_manual_sampling():
-    rng = np.random.default_rng(1)
-    n, h, w = 3, 9, 40
-    x = rng.uniform(size=(n, h, w)).astype(np.float32)
-    s = np.asarray([0.5, -1.25, 2.0], np.float32)
-    out = np.asarray(_shear_rows_jnp(jnp.asarray(x), jnp.asarray(s), True))
+def test_sep_poly_equals_fft_backend():
+    """The fast path IS the fft operator: with the same estimates, the two
+    backends agree to f32 round-off everywhere, including borders
+    (the reference's method-interchangeability contract,
+    deblurring.py:113-119, made exact)."""
+    from polyblur_tpu import restoration
 
-    from polyblur_tpu.ops.shear import lanczos3_weights
-
-    yc = (h - 1) / 2.0
-    for i in range(n):
-        for y in range(h):
-            d = s[i] * (y - yc)
-            k = int(np.floor(d))
-            a = d - k
-            ws = [float(v) for v in lanczos3_weights(jnp.float32(a))]
-            expect = sum(
-                wj * np.roll(x[i, y], -(k + off))
-                for wj, off in zip(ws, range(-2, 4)))
-            np.testing.assert_allclose(out[i, y], expect, atol=1e-5)
-
-
-def test_gauss_fold_shear_exactness():
-    """The fold must equal conv-then-ideal-fractional-shift: on a pure
-    sinusoid (bandlimited), fold(conv) == analytic shifted response."""
-    from polyblur_tpu.ops.shear import _gauss_fold_shear_jnp
-
-    w = 64
-    h = 8
-    freq = 2.0 * np.pi * 3.0 / w  # integer cycles -> circular-exact
-    cols = np.arange(w)
-    x = np.broadcast_to(np.cos(freq * cols), (1, h, w)).astype(np.float32)
-    s = np.asarray([0.7], np.float32)
-    coef = np.asarray([0.8], np.float32)
-    out = np.asarray(_gauss_fold_shear_jnp(
-        jnp.asarray(x), jnp.asarray(s), jnp.asarray(coef), 12))
-    # analytic: gaussian taps attenuate the sinusoid by their DTFT at freq
-    # and the shift rotates its phase by freq * d_y
-    taps = np.exp(-0.5 * 0.8 * np.arange(-13, 14) ** 2)
-    taps /= taps.sum()
-    gain = np.sum(taps * np.cos(freq * np.arange(-13, 14)))
-    yc = (h - 1) / 2.0
-    for y in range(h):
-        d = 0.7 * (y - yc)
-        expect = gain * np.cos(freq * (cols + d))
-        np.testing.assert_allclose(out[0, y], expect, atol=2e-3)
-
-
-def test_shear_roundtrip_on_smooth_content():
-    from scipy import ndimage
-
-    rng = np.random.default_rng(2)
-    base = ndimage.gaussian_filter(rng.uniform(size=(1, 64, 96)), 2.0)
-    x = jnp.asarray(base, jnp.float32)
-    s = jnp.asarray([0.8])
-    back = _shear_rows_jnp(_shear_rows_jnp(x, s, True), -s, True)
-    # interior columns (shear wraps only through the border region)
-    np.testing.assert_allclose(back[:, :, 30:-30], x[:, :, 30:-30], atol=2e-3)
-
-
-def test_shear_adjoint_property():
-    """<Sh(x), g> == <x, Sh_adj(g)> with Sh_adj = Sh(-s) (exact for the
-    symmetric circular cubic kernel)."""
     rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.uniform(size=(2, 16, 48)).astype(np.float32))
-    g = jnp.asarray(rng.uniform(size=(2, 16, 48)).astype(np.float32))
-    s = jnp.asarray([0.7, -1.3], jnp.float32)
-    lhs = float(jnp.sum(_shear_rows_jnp(x, s, True) * g))
-    rhs = float(jnp.sum(x * _shear_rows_jnp(g, -s, True)))
-    assert abs(lhs - rhs) < 1e-3
-
-
-def test_shear_custom_vjp_finite():
-    rng = np.random.default_rng(4)
-    x = jnp.asarray(rng.uniform(size=(2, 16, 48)).astype(np.float32))
-    s = jnp.asarray([0.7, -1.3], jnp.float32)
-
-    def loss(x_, s_):
-        return jnp.sum(shear_rows(x_, s_) ** 2)
-
-    gx, gs = jax.grad(loss, argnums=(0, 1))(x, s)
-    assert np.isfinite(np.asarray(gx)).all()
-    assert np.isfinite(np.asarray(gs)).all()
-    assert float(jnp.linalg.norm(gx)) > 0
-
-
-def test_pallas_shear_interpret_matches_jnp():
-    from polyblur_tpu.ops.pallas.shear import shear_rows_pallas
-
-    rng = np.random.default_rng(5)
-    x = jnp.asarray(rng.uniform(size=(4, 16, 64)).astype(np.float32))
-    s = jnp.asarray([0.0, 0.6, -1.1, 2.3], jnp.float32)
-    ref = _shear_rows_jnp(x, s, True)
-    out = shear_rows_pallas(x, s, interpret=True)
-    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=0)
+    img = jnp.asarray(rng.uniform(size=(2, 3, 100, 132)).astype(np.float32))
+    sg = jnp.asarray([[0.74], [2.5]])
+    rh = jnp.asarray([[0.40], [1.1]])
+    th = jnp.asarray([[0.4189], [2.2]])
+    k2d = batch_gaussian_kernels(th, sg, rh, 25)
+    ref = restoration.inverse_filtering_rank3(img, k2d, alpha=6.0, beta=1.0,
+                                              method="fft")
+    out = compute_polynomial_separable(img, sg, rh, th, 6.0, 1.0,
+                                       prepad=True, clip=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-6, rtol=0)
 
 
 def test_pallas_iir_interpret_matches_xla():
@@ -183,21 +118,19 @@ def test_fused_path_eligibility_accounts_for_prepad():
     exceed the fused kernel's VMEM gate must take the explicitly padded
     XLA path, never a pad-less fallthrough. The gate must also account for
     the internal 2*HALF growth of the prepad canvas."""
-    from polyblur_tpu.ops.sep_poly import _fused_path_eligible, safe_margin
+    from polyblur_tpu.ops.sep_poly import _fused_path_eligible
 
-    m = safe_margin(12, 1.0)
     # non-TPU backends never take the fused path
-    assert not _fused_path_eligible(64, 64, m, False, backend="cpu")
+    assert not _fused_path_eligible(64, 64, False, backend="cpu")
     # small tiles on TPU: eligible, with or without prepad
-    assert _fused_path_eligible(400, 400, m, True, backend="tpu")
+    assert _fused_path_eligible(400, 400, True, backend="tpu")
     # >=700 rows: canvas exceeds the VMEM envelope regardless of prepad
-    assert not _fused_path_eligible(700, 400, m, False, backend="tpu")
-    assert not _fused_path_eligible(700, 400, m, True, backend="tpu")
-    # boundary: fits without prepad but the +2*HALF growth tips it over
-    # (656 + 2*55 = 766 -> 768-lane canvas, the envelope edge at the
-    # fully-safe margin; prepad adds 24 more)
-    assert _fused_path_eligible(656, 400, m, False, backend="tpu")
-    assert not _fused_path_eligible(656, 400, m, True, backend="tpu")
+    assert not _fused_path_eligible(700, 400, False, backend="tpu")
+    assert not _fused_path_eligible(700, 400, True, backend="tpu")
+    # boundary: fits without prepad (656 <= 664) but the +2*HALF growth of
+    # the prepad canvas tips it over (680 > 664)
+    assert _fused_path_eligible(656, 400, False, backend="tpu")
+    assert not _fused_path_eligible(656, 400, True, backend="tpu")
 
 
 def test_sep_poly_prepad_large_image_replicates_edges():
@@ -217,15 +150,11 @@ def test_sep_poly_prepad_large_image_replicates_edges():
 
 
 def test_separable_pipeline_quality_close_to_fft(peacock):
-    """Fast-path restoration quality must match the FFT oracle path in
-    expectation over a kernel sweep (0.1 dB mean gate, BASELINE.md).
-
-    Per-image trajectories can legitimately differ: the estimation argmin
-    over interpolated angles is discontinuous, so a ~1e-3 backend
-    difference may flip the chosen angle quantum mid-pipeline (a property
-    of the reference algorithm, not of either backend). Both trajectories
-    are equally valid estimates; what must be preserved is the
-    restoration *quality*."""
+    """Fast-path restoration quality vs the FFT oracle path over a kernel
+    sweep — BASELINE.md's 0.1 dB parity bar applied PER ITEM (the r3
+    verdict's done-criterion; the mean gate is far tighter). With the
+    exact 2D-spectral operator the two backends share every estimation
+    trajectory to f32 round-off, so the deltas sit at ~1e-3 dB."""
     from scipy import ndimage
     from polyblur_tpu.ops.gaussian import gaussian_filter_np
     from polyblur_tpu.pipeline import polyblur_core
@@ -247,8 +176,8 @@ def test_separable_pipeline_quality_close_to_fft(peacock):
         deltas.append(psnr(np.asarray(out_sep[0, 0]), sharp)
                       - psnr(np.asarray(out_fft[0, 0]), sharp))
     deltas = np.asarray(deltas)
-    assert abs(deltas.mean()) < 0.1, deltas
-    assert np.abs(deltas).max() < 0.5, deltas
+    assert abs(deltas.mean()) < 0.02, deltas
+    assert np.abs(deltas).max() < 0.1, deltas
 
 
 def test_fused_polynomial_interpret_matches_xla():
@@ -258,27 +187,19 @@ def test_fused_polynomial_interpret_matches_xla():
 
     rng = np.random.default_rng(11)
     n, h, w = 3, 48, 72
-    margin = 24
     x = jnp.asarray(rng.uniform(size=(n, h, w)).astype(np.float32))
     sg = jnp.asarray([1.8, 1.0, 2.5]); rh = jnp.asarray([0.7, 1.0, 0.5])
     th = jnp.asarray([0.4, 0.0, 1.1])
     a, b, c = gaussian_quadratic_coeffs(sg, rh, th)
-    s = jnp.clip(-b / a, -2.0, 2.0)
-    cp = jnp.maximum(c - b * b / a, 1e-4)
-    from polyblur_tpu.ops.sep_poly import _tap_inv_norm
-
-    inx = _tap_inv_norm(a)
-    inv = _tap_inv_norm(cp)
-    params = jnp.stack([s, a, cp, inx, inv], axis=-1)
+    params = jnp.stack([a, b, c], axis=-1)
     coeffs = jnp.asarray([4.0, -5.0, 2.0, 1.0], jnp.float32)
-    ref = _xla_reference(x, params, coeffs, margin)
-    out = fused_polynomial_pallas(x, params, coeffs, margin,
-                                  interpret=True)
-    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=0)
+    ref = _xla_reference(x, params, coeffs)
+    out = fused_polynomial_pallas(x, params, coeffs, interpret=True)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=0)
 
     # gradient path (backward runs the XLA composition), incl. params
     def loss(x_, p_):
-        return jnp.sum(fused_polynomial_pallas(x_, p_, coeffs, margin,
+        return jnp.sum(fused_polynomial_pallas(x_, p_, coeffs,
                                                interpret=True) ** 2)
 
     gx, gp = jax.grad(loss, argnums=(0, 1))(x, params)
@@ -301,14 +222,6 @@ def test_fused_estimation_interpret_matches_xla(peacock):
     np.testing.assert_allclose(out3, ref, atol=1e-5, rtol=0)
 
 
-def _policy_margin(x):
-    """The one margin policy (ops.sep_poly._fitted_margin) for a tile
-    batch — kernel and composed paths must share canvas geometry."""
-    from polyblur_tpu.ops.sep_poly import _fitted_margin
-
-    return _fitted_margin(x.shape[-1] + 24, 12, 1.0)
-
-
 def test_mega_kernel_interpret_matches_pipeline(peacock):
     """The whole-pipeline mega-kernel (interpret mode) must match the
     composed XLA pipeline."""
@@ -320,12 +233,12 @@ def test_mega_kernel_interpret_matches_pipeline(peacock):
     a3 = alpha / 2 - beta + 2
     a2 = 3 * beta - alpha - 6
     a1 = 5 - 3 * beta + alpha / 2
-    coeffs = jnp.asarray([a3, a2, a1, beta, 0.362, 0.468, 1.0, 2.0, 0.8],
+    coeffs = jnp.asarray([a3, a2, a1, beta, 0.362, 0.468, 2.0, 0.8],
                          jnp.float32)
-    out = polyblur_tiles_fused(x, coeffs, 2, _policy_margin(x), interpret=True)
+    out = polyblur_tiles_fused(x, coeffs, 2, interpret=True)
     ref = polyblur_core(x, n_iter=2, c=0.362, b=0.468, alpha=alpha,
                         beta=beta, method="direct_separable")
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
                                rtol=0)
 
 
@@ -336,20 +249,20 @@ def test_mega_kernel_odd_sizes_interpret(peacock):
     x = jnp.asarray(peacock[:101, :101].transpose(2, 0, 1))[None]
     alpha, beta = 6.0, 1.0
     coeffs = jnp.asarray([alpha / 2 - beta + 2, 3 * beta - alpha - 6,
-                          5 - 3 * beta + alpha / 2, beta, 0.362, 0.468, 1.0,
+                          5 - 3 * beta + alpha / 2, beta, 0.362, 0.468,
                           2.0, 0.8],
                          jnp.float32)
-    out = polyblur_tiles_fused(x, coeffs, 1, _policy_margin(x), interpret=True)
+    out = polyblur_tiles_fused(x, coeffs, 1, interpret=True)
     ref = polyblur_core(x, n_iter=1, c=0.362, b=0.468, alpha=alpha,
                         beta=beta, method="direct_separable")
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
                                rtol=0)
 
 
-def _mega_coeffs(alpha=6.0, beta=1.0, c=0.362, b=0.468, smax=1.0,
+def _mega_coeffs(alpha=6.0, beta=1.0, c=0.362, b=0.468,
                  sigma_s=2.0, sigma_r=0.8):
     return jnp.asarray([alpha / 2 - beta + 2, 3 * beta - alpha - 6,
-                        5 - 3 * beta + alpha / 2, beta, c, b, smax,
+                        5 - 3 * beta + alpha / 2, beta, c, b,
                         sigma_s, sigma_r], jnp.float32)
 
 
@@ -359,11 +272,11 @@ def test_mega_kernel_halo_interpret_matches_pipeline(peacock):
     from polyblur_tpu.pipeline import polyblur_core
 
     x = jnp.asarray(peacock[:96, :96].transpose(2, 0, 1))[None]
-    out = polyblur_tiles_fused(x, _mega_coeffs(), 2, _policy_margin(x),
+    out = polyblur_tiles_fused(x, _mega_coeffs(), 2,
                                do_halo=True, interpret=True)
     ref = polyblur_core(x, n_iter=2, c=0.362, b=0.468, alpha=6.0, beta=1.0,
                         method="direct_separable", remove_halo=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4,
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
                                rtol=0)
 
 
@@ -376,33 +289,28 @@ def test_mega_kernel_prefilters_interpret_match_pipeline(peacock):
     x = jnp.asarray(peacock[:96, :96].transpose(2, 0, 1))[None]
     for prefilter, smoother in (("bilateral", "bilateral"),
                                 ("dt", "domain_transform")):
-        out = polyblur_tiles_fused(x, _mega_coeffs(), 2, _policy_margin(x),
+        out = polyblur_tiles_fused(x, _mega_coeffs(), 2,
                                    prefilter=prefilter, interpret=True)
         ref = polyblur_core(x, n_iter=2, c=0.362, b=0.468, alpha=6.0,
                             beta=1.0, method="direct_separable",
                             prefiltering=True, smoother=smoother)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=5e-4, rtol=0, err_msg=prefilter)
+                                   atol=1e-5, rtol=0, err_msg=prefilter)
 
 
-def test_mega_kernel_taper_interpret_close_to_pipeline(peacock):
-    """In-kernel edgetaper: the blur operator is the shear-factorized band
-    operator on the zero-margin canvas, while the composed path tapers with
-    the ortho/oblique separable convolution on the replicate-padded image —
-    same weight map, slightly different blur borders. Interiors must agree
-    tightly; whole-image agreement is gated at the parity scale."""
+def test_mega_kernel_taper_interpret_matches_pipeline(peacock):
+    """In-kernel edgetaper vs the composed pipeline (both now apply the
+    taper blur with the exact spectral operator)."""
     from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused
     from polyblur_tpu.pipeline import polyblur_core
-    from conftest import psnr
 
     x = jnp.asarray(peacock[:96, :96].transpose(2, 0, 1))[None]
-    out = polyblur_tiles_fused(x, _mega_coeffs(), 2, _policy_margin(x),
+    out = polyblur_tiles_fused(x, _mega_coeffs(), 2,
                                do_taper=True, interpret=True)
     ref = polyblur_core(x, n_iter=2, c=0.362, b=0.468, alpha=6.0, beta=1.0,
                         method="direct_separable", edgetaping=True)
-    inner = np.abs(np.asarray(out - ref))[..., 16:-16, 16:-16]
-    assert inner.max() < 3e-3, inner.max()
-    assert psnr(np.asarray(out), np.asarray(ref)) > 40.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
+                               rtol=0)
 
 
 def test_mega_kernel_full_features_interpret(peacock):
@@ -413,16 +321,16 @@ def test_mega_kernel_full_features_interpret(peacock):
     from conftest import psnr
 
     x = jnp.asarray(peacock[:96, :96].transpose(2, 0, 1))[None]
-    out = polyblur_tiles_fused(x, _mega_coeffs(), 2, _policy_margin(x),
+    out = polyblur_tiles_fused(x, _mega_coeffs(), 2,
                                do_taper=True, do_halo=True, prefilter="dt",
                                interpret=True)
     ref = polyblur_core(x, n_iter=2, c=0.362, b=0.468, alpha=6.0, beta=1.0,
                         method="direct_separable", remove_halo=True,
                         edgetaping=True, prefiltering=True,
                         smoother="domain_transform")
-    inner = np.abs(np.asarray(out - ref))[..., 16:-16, 16:-16]
-    assert inner.max() < 5e-3, inner.max()
-    assert psnr(np.asarray(out), np.asarray(ref)) > 38.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=0)
+    assert psnr(np.asarray(out), np.asarray(ref)) > 90.0
 
 
 def test_mega_tile_cap_feature_envelope():
@@ -441,21 +349,19 @@ def test_mega_tile_cap_feature_envelope():
     assert mega_tile_cap(False, "domain_transform") == 640
 
 
-def test_orientation_select_extremes():
-    """The per-sample shear-orientation auto-select bounds |slope| by 1
-    for every positive-definite form, so the separable operator stays
-    within interpolation/truncation error of the exact direct oracle even
-    at the estimator's clamp extremes (ratio down to 0.075, where the
-    round-2 fixed-row-shear path degraded to ~31 dB; VERDICT r2 weak #2).
-    Floors are measured values minus ~2 dB headroom."""
+def test_operator_exact_at_estimator_extremes():
+    """The spectral operator must stay exact at the estimator's clamp
+    extremes (ratio down to 0.075 — the bands where the round-2/3 shear
+    factorizations degraded to 31-58 dB). Gate: f32-round-off agreement
+    with the fft backend on the SAME estimates, plus interior agreement
+    with the direct (clamped-border) oracle at the truncation scale."""
     import os
 
     import jax.numpy as jnp
     from PIL import Image
 
-    from polyblur_tpu.ops.sep_poly import (compute_polynomial_separable,
-                                           gaussian_quadratic_coeffs,
-                                           orientation_params)
+    from polyblur_tpu import restoration
+    from polyblur_tpu.ops.sep_poly import compute_polynomial_separable
     from polyblur_tpu.restoration import compute_polynomial_direct
     from polyblur_tpu.ops.gaussian import batch_gaussian_kernels
 
@@ -464,37 +370,29 @@ def test_orientation_select_extremes():
                      "peacock_defocus.png"))).astype(np.float32) / 255.0
     x = jnp.asarray(img.mean(-1)[100:228, 200:328])[None, None]
 
-    def interior_psnr(a, b):
-        a = np.asarray(a)[..., 24:-24, 24:-24]
-        b = np.asarray(b)[..., 24:-24, 24:-24]
-        mse = float(np.mean((a - b) ** 2))
-        return 10 * np.log10(1.0 / max(mse, 1e-12))
-
-    # (sigma, rho, theta_deg, min dB vs the exact direct oracle)
-    cases = [(4.0, 0.3, 4.3, 41.0),   # round-2 worst clamp extreme
-             (4.0, 0.3, 10.0, 44.0),  # old |s|~4.8 band
-             (3.0, 0.9, 15.0, 75.0),  # old just-past-the-clamp band
-             (3.0, 1.0, 45.0, 80.0),  # calibrated range: near-exact
-             (0.3, 4.0, 80.0, 41.0),  # transposed extreme (column shear)
-             (4.0, 0.33, 45.0, 69.0)]  # |s_selected| ~ 0.99
-    for sg, rh, thdeg, floor in cases:
+    cases = [(4.0, 0.3, 4.3), (4.0, 0.3, 10.0), (3.0, 0.9, 15.0),
+             (3.0, 1.0, 45.0), (0.3, 4.0, 80.0), (4.0, 0.33, 45.0)]
+    for sg, rh, thdeg in cases:
         th = np.radians(thdeg)
         s_ = jnp.full((1, 1), sg)
         r_ = jnp.full((1, 1), rh)
         t_ = jnp.full((1, 1), th)
         k2d = batch_gaussian_kernels(t_, s_, r_, 25)  # (thetas, sigmas, rhos)
         assert float(jnp.max(k2d)) < 0.5, "oracle kernel must not be a delta"
-        ref = compute_polynomial_direct(
+        out = compute_polynomial_separable(x, s_, r_, t_, 6.0, 1.0,
+                                           prepad=True, clip=True)
+        ref_fft = restoration.inverse_filtering_rank3(
+            x, k2d, alpha=6.0, beta=1.0, method="fft")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_fft),
+                                   atol=5e-6, rtol=0,
+                                   err_msg=str((sg, rh, thdeg)))
+        # direct oracle: clamped borders vs the fft circle — interiors
+        # beyond the operator reach (3 * half = 36) agree to round-off
+        ref_dir = compute_polynomial_direct(
             jnp.pad(x, ((0, 0), (0, 0), (12, 12), (12, 12)), mode="edge"),
             k2d, 6.0, 1.0)[..., 12:-12, 12:-12]
-        out = compute_polynomial_separable(x, s_, r_, t_, 6.0, 1.0,
-                                           prepad=True)
-        got = interior_psnr(out, ref)
-        assert got >= floor, (sg, rh, thdeg, got)
-        # the selected orientation always has |slope| <= 1
-        qa, qb, qc = gaussian_quadratic_coeffs(sg, rh, th)
-        _, s_sel, _, _ = orientation_params(qa, qb, qc)
-        assert abs(float(s_sel)) <= 1.0 + 1e-6, (sg, rh, thdeg)
+        d = np.abs(np.asarray(out) - np.clip(np.asarray(ref_dir), 0, 1))
+        assert d[..., 36:-36, 36:-36].max() < 1e-5, (sg, rh, thdeg)
 
 
 def test_pallas_bilateral_matches_xla():
@@ -539,13 +437,13 @@ def test_image_fused_dma_matches_tiles_fused():
     padded = jnp.pad(img[..., :g.orig_size[0], :g.orig_size[1]],
                      ((0, 0), (0, 0), (pt, pb), (pl_, pr)), mode="edge")
     tiles = extract_patches(img, g)
-    coeffs, margin = _mega_pack(0.362, 0.468, 6.0, 1.0, 2.0, 0.4)
+    coeffs = _mega_pack(0.362, 0.468, 6.0, 1.0, 2.0, 0.4)
     for flags in [dict(), dict(do_taper=True), dict(do_halo=True),
                   dict(prefilter="dt"),
                   dict(do_taper=True, do_halo=True, prefilter="bilateral")]:
-        a = polyblur_tiles_fused(tiles, coeffs, 2, margin, interpret=True,
+        a = polyblur_tiles_fused(tiles, coeffs, 2, interpret=True,
                                  **flags)
-        b = polyblur_image_fused(padded, coeffs, 2, margin,
+        b = polyblur_image_fused(padded, coeffs, 2,
                                  (th, tw, sh, sw, ph, pw), interpret=True,
                                  **flags)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), flags
@@ -572,9 +470,9 @@ def test_image_fused_statically_aligned_grid_matches_tiles_fused():
     padded = jnp.pad(img[..., :g.orig_size[0], :g.orig_size[1]],
                      ((0, 0), (0, 0), (pt, pb), (pl_, pr)), mode="edge")
     tiles = extract_patches(img, g)
-    coeffs, margin = _mega_pack(0.362, 0.468, 6.0, 1.0, 2.0, 0.4)
-    a = polyblur_tiles_fused(tiles, coeffs, 2, margin, interpret=True)
-    b = polyblur_image_fused(padded, coeffs, 2, margin,
+    coeffs = _mega_pack(0.362, 0.468, 6.0, 1.0, 2.0, 0.4)
+    a = polyblur_tiles_fused(tiles, coeffs, 2, interpret=True)
+    b = polyblur_image_fused(padded, coeffs, 2,
                              (th, tw, sh, sw, ph, pw), interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -587,10 +485,10 @@ def test_image_fused_gradient_via_ref_pipeline():
 
     rng = np.random.default_rng(1)
     padded = jnp.asarray(rng.uniform(size=(1, 1, 64, 64)).astype(np.float32))
-    coeffs, margin = _mega_pack(0.362, 0.468, 6.0, 1.0, 2.0, 0.4)
+    coeffs = _mega_pack(0.362, 0.468, 6.0, 1.0, 2.0, 0.4)
 
     def loss(p, co):
-        out = polyblur_image_fused(p, co, 1, margin, (2, 2, 32, 32, 32, 32),
+        out = polyblur_image_fused(p, co, 1, (2, 2, 32, 32, 32, 32),
                                    interpret=True)
         return jnp.mean(out ** 2)
 
@@ -677,48 +575,24 @@ def test_sep_poly_honors_ker_size():
 
 def test_blocked_polynomial_matches_composition():
     """The 2D block-grid fused route (whole images beyond the single-
-    program VMEM envelope, VERDICT r2 weak #3) must match the unblocked
-    XLA composition: block interiors see true apron content, the outer
-    ring sees the same zero canvas. Differences are bounded by the
-    interpolation-error scale (the input shear's fractional phases differ
-    between block-local and global row centers)."""
-    from polyblur_tpu.ops.sep_poly import (_blocked_polynomial,
-                                           gaussian_quadratic_coeffs,
-                                           orientation_params, safe_margin)
-    from conftest import psnr
+    program VMEM envelope) is exact overlap-save: blocks cut from the
+    wrap-extended canvas reproduce the circular whole-canvas operator to
+    f32 round-off EVERYWHERE (the operator reach 3*half fits inside the
+    apron, so the block's own wrap never touches a core pixel)."""
+    from polyblur_tpu.ops.sep_poly import (_blocked_polynomial, _spectral2d,
+                                           gaussian_quadratic_coeffs)
     from scipy import ndimage
 
     rng = np.random.default_rng(30)
-    base = ndimage.gaussian_filter(rng.uniform(size=(300, 300)), 1.0)
-    x4 = jnp.asarray(base, jnp.float32)[None, None]
-    sg = jnp.asarray([[2.0]]); rh = jnp.asarray([[0.8]])
-    th = jnp.asarray([[0.5]])
-    ref = compute_polynomial_separable(x4, sg, rh, th, 6.0, 1.0)  # CPU: XLA
-
-    a, b, c = gaussian_quadratic_coeffs(
-        sg.reshape(-1), rh.reshape(-1), th.reshape(-1))
-    use_col, s, a_eff, cp = orientation_params(a, b, c)
-    xw = jnp.where(use_col[:, None, None],
-                   jnp.swapaxes(x4.reshape(1, 300, 300), -1, -2),
-                   x4.reshape(1, 300, 300))
+    base = ndimage.gaussian_filter(rng.uniform(size=(300, 260)), 1.0)
+    x4 = jnp.asarray(base, jnp.float32)[None]
+    sg = jnp.asarray([2.0]); rh = jnp.asarray([0.8]); th = jnp.asarray([0.5])
+    a, b, c = gaussian_quadratic_coeffs(sg, rh, th)
     alpha, beta = 6.0, 1.0
     horner = (alpha / 2 - beta + 2, 3 * beta - alpha - 6,
               5 - 3 * beta + alpha / 2, beta)
-    out = _blocked_polynomial(xw, s, a_eff, cp, horner, 12,
-                              safe_margin(12, 1.0), block=160,
+    ref = _spectral2d(x4, a, b, c, horner, 12)
+    out = _blocked_polynomial(x4, a, b, c, horner, 12, block=160,
                               interpret=True)
-    out = jnp.where(use_col[:, None, None],
-                    jnp.swapaxes(out, -1, -2), out)[None]
-    # The two routes agree in the mutually-valid region. They differ in
-    # CORNER zones: the unblocked path's global circular shear carries row
-    # displacements up to |s| * H/2 (~66 px here), so border columns of
-    # extreme rows read wrapped content once |d_y| exceeds margin +
-    # border distance — the blocked path's local row centers bound |d_y|
-    # by |s| * block/2 and stay clean (verified against the direct
-    # oracle: blocked ring error 1.1e-3 vs the composition's 0.36). Crop
-    # to the corner-free region: |d|max - margin + half ~= 36 px.
-    crop = 40
-    d = np.abs(np.asarray(out - ref))[..., crop:-crop, crop:-crop]
-    assert d.max() < 5e-3, d.max()
-    assert psnr(out[..., crop:-crop, crop:-crop],
-                ref[..., crop:-crop, crop:-crop]) > 60.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=0)

@@ -224,19 +224,19 @@ def test_mega_image_pad_lanes_interpret_parity():
     th, tw, sh, sw, ph, pw = grid_info
     Hp, Wp = (th - 1) * sh + ph, (tw - 1) * sw + pw
     x = jnp.asarray(rng.uniform(size=(1, 3, Hp, Wp)).astype(np.float32))
-    coeffs, margin = _mega_pack(0.362, 0.468, 6.0, 1.0, 2.0, 0.8, tile_w=pw)
-    out0 = polyblur_image_fused(x, coeffs, 1, margin, grid_info,
+    coeffs = _mega_pack(0.362, 0.468, 6.0, 1.0, 2.0, 0.8)
+    out0 = polyblur_image_fused(x, coeffs, 1, grid_info,
                                 interpret=True)
-    out1 = polyblur_image_fused(x, coeffs, 1, margin, grid_info,
+    out1 = polyblur_image_fused(x, coeffs, 1, grid_info,
                                 interpret=True, pad_lanes=True)
     assert out1.shape == out0.shape[:-1] + (128,)
     np.testing.assert_array_equal(np.asarray(out1[..., :pw]),
                                   np.asarray(out0))
     assert np.all(np.asarray(out1[..., pw:]) == 0.0)
     g0 = jax.grad(lambda v: jnp.sum(polyblur_image_fused(
-        v, coeffs, 1, margin, grid_info, interpret=True)))(x)
+        v, coeffs, 1, grid_info, interpret=True)))(x)
     g1 = jax.grad(lambda v: jnp.sum(polyblur_image_fused(
-        v, coeffs, 1, margin, grid_info, interpret=True,
+        v, coeffs, 1, grid_info, interpret=True,
         pad_lanes=True)))(x)
     np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
 

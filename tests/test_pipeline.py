@@ -49,10 +49,10 @@ def test_golden_peacock_artifact_psnr_pinned(ref, peacock):
     (the live reference lands ~30.4 dB from it), so the gate pins our
     PSNR-vs-PNG to the level the live reference achieves:
 
-    * fft path: within the 0.1 dB parity budget of the reference's level;
-    * separable fast path: within 0.3 dB (VERDICT r2 done-criterion #1) —
-      its ~50 dB full-res agreement with the fft output RMS-adds to the
-      30.4 dB PNG distance as 10*log10(1 + 10^((30.4-50)/10)) ~= 0.05 dB.
+    Both paths gate at 0.05 dB — HALF the BASELINE bar: the fast path is
+    now the exact fft operator (round-4 2D-spectral rewrite), so both
+    measure delta 0.0000 on CPU; the budget covers TPU Mosaic matmul
+    round-off.
     """
     from PIL import Image
     import os
@@ -63,7 +63,7 @@ def test_golden_peacock_artifact_psnr_pinned(ref, peacock):
     golden = (golden / 255.0).astype(np.float32)
     ref_level = float(ref["golden_psnr_ref_vs_png"])
     x = jnp.asarray(peacock.transpose(2, 0, 1))[None]
-    for method, budget in (("fft", 0.1), ("direct_separable", 0.3)):
+    for method, budget in (("fft", 0.05), ("direct_separable", 0.05)):
         out = polyblur_core(x, n_iter=3, c=0.362, b=0.468, alpha=6.0,
                             beta=1.0, method=method)
         level = psnr(np.asarray(out[0]).transpose(1, 2, 0), golden)
@@ -73,16 +73,16 @@ def test_golden_peacock_artifact_psnr_pinned(ref, peacock):
 
 
 def test_golden_peacock_fullres_separable(ref, peacock):
-    """Separable-path-vs-reference-output gate at the demo config on the
-    full-res peacock. Round 2 measured 36.5 dB (fixed row shear, Keys
-    cubic, aliasing-prone margin); the round-3 spectral-x operator
-    (orientation auto-select + ideal phase-ramp shear) measures ~52.2 dB —
-    gated at the VERDICT done-criterion (>= 42) plus headroom."""
+    """Fast-path-vs-reference-output gate at the demo config on the
+    full-res peacock. History: round 2 measured 36.5 dB (fixed row shear,
+    Keys cubic), round 3 ~52.2 dB (spectral-x ideal phase shear), round 4
+    ~120 dB on CPU — the 2D-spectral operator IS the fft operator. Gate at
+    the fft path's own 55 dB bar (covers TPU Mosaic round-off)."""
     x = jnp.asarray(peacock.transpose(2, 0, 1))[None]
     out = polyblur_core(x, n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
                         method="direct_separable")
     agree = psnr(out, ref["e2e_out_fft_fullres"])
-    assert agree > 46.0, f"separable full-res PSNR vs reference: {agree:.2f} dB"
+    assert agree > 55.0, f"separable full-res PSNR vs reference: {agree:.2f} dB"
 
 
 def test_e2e_improves_synthetic_blur():
@@ -265,8 +265,10 @@ def test_corpus_parity_per_method():
     (tests/make_fixtures.py::make_corpus). Gates per method:
 
     * fft: machine-precision agreement (measured 120 dB on all four);
-    * direct_separable: >= 45 dB agreement (measured 51.8-89.3) and
-      restoration strength within 0.2 dB of the reference's.
+    * direct_separable: also machine precision since round 4 (the fast
+      path is the exact fft operator) — gated at 60 dB agreement and
+      0.05 dB strength (HALF the 0.1 dB BASELINE bar, covering TPU
+      Mosaic round-off; measured 120 dB / 0.0000-0.0001 dB on CPU).
     """
     import os
 
@@ -282,9 +284,9 @@ def test_corpus_parity_per_method():
         assert abs(psnr(out_fft[0, 0], sharp) - psnr(tgt[0, 0], sharp)) < 0.1
         out_sep = polyblur_core(x, method="direct_separable", **kw)
         agree = psnr(out_sep[0, 0], tgt[0, 0])
-        assert agree > 45.0, (name, agree)
+        assert agree > 60.0, (name, agree)
         d = abs(psnr(out_sep[0, 0], sharp) - psnr(tgt[0, 0], sharp))
-        assert d < 0.2, (name, d)
+        assert d < 0.05, (name, d)
 
 
 def test_auto_tile_plan_grid_choice():
@@ -307,11 +309,12 @@ def test_auto_tile_plan_grid_choice():
     # dt-prefilter cap restricts candidates to <= 512
     plan = _auto_tile_plan(3000, 4000, cap=512)
     assert plan is not None and plan[0] <= 512
-    # thin panorama: tiling with a small grid beats squaring to
-    # max(h, w)^2 in the blocked route, even below the area threshold
-    assert _auto_tile_wanted(3000, 100, cap=640)
-    plan = _auto_tile_plan(3000, 100, cap=640)
-    assert plan is not None and plan[0] == 320
+    # thin panorama below the area threshold: stays whole-image — the
+    # blocked route works on rectangles directly (no square working
+    # frame), so a 0.3MP strip costs 0.3MP, not max(h, w)^2
+    assert not _auto_tile_wanted(3000, 100, cap=640)
+    # a genuinely large panorama still tiles (area rule)
+    assert _auto_tile_wanted(12000, 400, cap=640)
 
 
 def test_verbose_mega_config_returns_fused_result_shape():

@@ -72,20 +72,21 @@ def test_edgetaper_applies_under_param_kernels():
     border = np.abs(np.asarray(tapered - untapered))[..., :4, :].max()
     assert border > 1e-4, "edgetaping is still a no-op on the fast path"
 
-    # parametric taper vs explicit-2D-kernel taper (same blur operator via
-    # the separable pass in both, so only the alpha-map construction and
-    # dispatch differ)
+    # parametric taper vs explicit-2D-kernel taper: the blur must be the
+    # exact circular sampled-kernel convolution — the operator the
+    # reference's fft method tapers with (edgetaper.py:30-32 via
+    # filters.py:33-35) — so fft-convolving with the equivalent 2D kernel
+    # reproduces it to round-off
+    from polyblur_tpu.ops.fourier import fft_convolve2d
+
     k2d = _kernels_from_params(sg, rh, th, 25)
     a = edgetaper(img, (sg, rh, th))
     b_alpha = edgetaper_alpha(k2d, (64, 64))
-    from polyblur_tpu.ops.conv import convolve2d
-
     expected = img
     for _ in range(3):
-        blurred = convolve2d(expected, (sg, rh, th),
-                             method="direct_separable")
+        blurred = fft_convolve2d(expected, k2d)
         expected = b_alpha * expected + (1.0 - b_alpha) * blurred
-    np.testing.assert_allclose(a, expected, atol=1e-6, rtol=0)
+    np.testing.assert_allclose(a, expected, atol=1e-5, rtol=0)
 
 
 def test_edgetaper_separable_close_to_fft_path():

@@ -74,6 +74,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="smaller sizes (CI / CPU)")
+    p.add_argument("--sweep-grids", action="store_true",
+                   help="also sweep the 12MP device-kernel headline over "
+                        "the candidate tile grids (the ARCHITECTURE.md "
+                        "tile-size sweep, committed command)")
     args = p.parse_args(argv)
 
     import jax
@@ -178,6 +182,19 @@ def main(argv=None):
     mp = h4 * w4 / 1e6
     rows.append((f"4. {mp:.0f}MP bf16 tiled per-tile est (headline)",
                  f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
+
+    if args.sweep_grids:
+        # Device-kernel rate per candidate grid at the config-4 size —
+        # the committed form of the ARCHITECTURE.md tile-size sweep.
+        for ps, step in ((448, 384), (512, 448), (576, 512), (640, 576)):
+            g = plan_patch_grid(h4, w4, ps, (ps - step) / ps)
+            t = jax.device_put(
+                extract_patches(jnp.asarray(big), g).astype(jnp.bfloat16))
+            dts = _time(f4, t, chain=8)
+            rows.append((f"4s. {mp:.0f}MP device-kernel, {ps}/{step} grid "
+                         f"({t.shape[0]} tiles, "
+                         f"{t.shape[0] * ps * ps / (h4 * w4):.2f}x)",
+                         f"{dts * 1e3:.1f} ms", f"{mp / dts:.0f} MP/s"))
 
     # --- config 4b: 12MP EVERYTHING on device (tiling + deblur + overlap
     # add through the patch engine; the DMA mega route cuts tiles in-kernel)

@@ -70,7 +70,8 @@ def process_topology():
     return jax.process_count(), devs
 
 
-def make_multihost_mesh(data_axis: int | None = None) -> Mesh:
+def make_multihost_mesh(data_axis: int | None = None,
+                        allow_tile_across_hosts: bool = False) -> Mesh:
     """('data', 'tile') mesh with the data axis spanning processes.
 
     With P processes x L local devices, the default mesh is (P, L): every
@@ -79,15 +80,24 @@ def make_multihost_mesh(data_axis: int | None = None) -> Mesh:
     pipeline never communicates on except gradient psums in training —
     crosses DCN. ``data_axis`` overrides the data extent; it must be a
     multiple of the process count so no data shard straddles hosts.
+
+    ``allow_tile_across_hosts=True`` relaxes that rule for the
+    tile-dominant layout (e.g. ONE giant image spread over a whole pod's
+    devices, data_axis=1): the reassembly seam ppermute then crosses DCN
+    at host boundaries — one (tail x W) strip per host pair per image,
+    the layout a multi-host single-image job actually wants. Keep the
+    default strict: with batch parallelism available, tile shards
+    straddling hosts is a layout bug.
     """
     n_proc, devs = process_topology()
     n = len(devs)
     if data_axis is None:
         data_axis = n_proc
-    if data_axis % n_proc != 0:
+    if data_axis % n_proc != 0 and not allow_tile_across_hosts:
         raise ValueError(
             f"data_axis={data_axis} incompatible with {n_proc} processes: "
-            "a data shard would straddle hosts")
+            "a data shard would straddle hosts (pass "
+            "allow_tile_across_hosts=True for the tile-dominant layout)")
     if n % data_axis != 0:
         raise ValueError(f"{n} devices not divisible by data_axis={data_axis}")
     dev_array = np.asarray(devs).reshape(data_axis, n // data_axis)

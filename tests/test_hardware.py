@@ -269,6 +269,103 @@ def test_fused_overlap_add_routes_and_matches_on_tpu(peacock_x):
                                rtol=0)
 
 
+def test_shard_map_mega_dispatch_on_tpu(peacock_x):
+    """VERDICT r3 next #3: the 'Pallas kernels work unchanged under
+    multi-chip' claim (parallel/sharding.py docstring), pinned on
+    HARDWARE. One real chip cannot test >1-way sharding, but a 1-device
+    mesh exercises the exact mechanism the claim rests on: the mega
+    kernels dispatching INSIDE shard_map-traced local functions, with
+    parity against the unsharded path."""
+    from polyblur_tpu.parallel.sharding import (make_mesh, deblur_sharded,
+                                                data_parallel_deblur)
+    from polyblur_tpu.patches import deblur_patches
+    from polyblur_tpu.pipeline import polyblur_core
+    from polyblur_tpu.utils.profiling import dispatch_log, reset_dispatch_log
+
+    mesh = make_mesh(jax.devices()[:1])
+    kw = dict(n_iter=2, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+              method="direct_separable")
+
+    # whole image under shard_map -> mega kernel dispatch + parity
+    x = peacock_x[..., :448, :448]
+    reset_dispatch_log()
+    out = data_parallel_deblur(x, mesh, **kw)
+    assert ("polyblur_core", "mega_pallas") in dispatch_log()
+    ref = polyblur_core(x, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-7, rtol=0)
+
+    # patch engine with the tile batch sharded -> same tiles as the
+    # unsharded engine (the sharded path extracts, restores under
+    # shard_map, overlap-adds)
+    reset_dispatch_log()
+    outs = deblur_sharded(peacock_x, mesh, patch_size=448,
+                          overlap=1.0 / 7.0, **kw)
+    assert ("polyblur_core", "mega_pallas") in dispatch_log()
+    refp = deblur_patches(peacock_x, patch_size=448, overlap=1.0 / 7.0,
+                          batch_size=1, **kw)
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(refp),
+                               atol=5e-7, rtol=0)
+
+
+def test_bf16_golden_strength_on_tpu(peacock_x, ref):
+    """VERDICT r3 next #2, hardware half: the benchmark configuration
+    (bf16 tiles through the real-Mosaic mega kernel) must hold quality on
+    the flagship content — restoration strength (PSNR vs the reference
+    fft output) within 0.2 dB of the f32 fast path's, with >= 40 dB
+    agreement between the bf16 and f32 outputs."""
+    from polyblur_tpu.patches import deblur_patches
+
+    kw = dict(n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+              method="direct_separable")
+    tgt = np.asarray(ref["e2e_out_fft_fullres"], np.float32)
+    of = deblur_patches(peacock_x, patch_size=448, overlap=1.0 / 7.0, **kw)
+    ob = deblur_patches(peacock_x.astype(jnp.bfloat16), patch_size=448,
+                        overlap=1.0 / 7.0, **kw)
+    assert ob.dtype == jnp.bfloat16
+    ob32 = np.asarray(ob, np.float32)
+    assert psnr(ob32, np.asarray(of)) > 40.0
+    d = abs(psnr(ob32, tgt) - psnr(np.asarray(of), tgt))
+    assert d < 0.2, d
+
+
+def test_auto_tile_cost_model_on_tpu():
+    """VERDICT r3 next #8: the method='auto' cost-model constants
+    (api._BLOCKED_COST_FACTOR, measured on round-3/4 hardware) validated
+    by fresh measurement: at a >= 4MP size the plan chooses tiling, and
+    tiling is measured no slower than ~1.2x the whole-image blocked
+    route; the measured blocked-vs-tiled per-pixel ratio must stay inside
+    the band the shipped factor (2.2) encodes. Uses the slope timing
+    protocol (bench_suite._time) to cancel the relay's constant
+    readback."""
+    from polyblur_tpu.api import _auto_tile_plan, _BLOCKED_COST_FACTOR
+    from polyblur_tpu.cli.bench_suite import _time
+    from polyblur_tpu.patches import deblur_patches
+    from polyblur_tpu.pipeline import polyblur_core, mega_tile_cap
+
+    cap = mega_tile_cap(False, "bilateral")
+    kw = dict(n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+              method="direct_separable")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(1, 3, 2048, 2048)).astype(np.float32))
+
+    plan = _auto_tile_plan(2048, 2048, cap)
+    assert plan is not None, "4.2MP must tile under the shipped model"
+    p, ov = plan
+
+    t_tiled = _time(lambda v: deblur_patches(v, patch_size=p, overlap=ov,
+                                             **kw), x, chain=3, n=2)
+    t_block = _time(lambda v: polyblur_core(v, **kw), x, chain=3, n=2)
+    ratio = t_block / t_tiled
+    # the plan's choice is within 20% of the fastest measured route
+    assert t_tiled <= 1.2 * t_block, (t_tiled, t_block)
+    # the shipped factor's band: tiling must actually pay off by roughly
+    # the encoded margin (wide band — this guards drift, not noise)
+    assert 1.1 < ratio < 5.0, ratio
+    print(f"measured blocked/tiled per-pixel ratio {ratio:.2f} "
+          f"(shipped _BLOCKED_COST_FACTOR={_BLOCKED_COST_FACTOR})")
+
+
 def test_fused_estimation_dispatches_at_640_on_tpu():
     """The fused estimation reduction cap matches the mega envelope
     (640px, VERDICT r2 weak #7) and agrees with the XLA chain."""

@@ -279,8 +279,59 @@ def _apply_param_operator(img, sigma, rho, theta, horner,
     return jnp.clip(out, 0.0, 1.0) if clip else out
 
 
+#: Modeled per-pixel cost of the non-DFT kernel work (spectrum multiply,
+#: DMA/copies) relative to one row/column of DFT matmul accumulation —
+#: damps the block planner away from degenerately small blocks whose
+#: per-program overheads would dominate. Validated on hardware
+#: (docs/ROUND4_NOTES.md block-planner sweep).
+_BLOCK_COST_CONST = 200.0
+
+
+def _plan_block_grid(h: int, w: int, ap: int, cap: int = _FUSED_MAX_CANVAS,
+                     block: int | None = None):
+    """(th, b0h, tw, b0w) block grid for :func:`_blocked_polynomial`.
+
+    Per-axis candidates are t blocks of b0 = ceil(dim / t) (b0 >= 2*ap,
+    the _split_axis overlap rule; canvas b0 + 2*ap <= cap, the VMEM
+    envelope). The joint choice minimizes the modeled kernel cost
+
+        th*tw * ch8*cw128 * (ch8 + cw128 + _BLOCK_COST_CONST)
+
+    where ch8/cw128 are the canvas edges rounded up to the (8, 128)
+    Mosaic tile — per-pixel DFT cost grows with ch + cw, and lane/sublane
+    padding is physically materialized, so a 430px canvas really costs
+    512 lanes. ``block`` overrides with a fixed square block (tests)."""
+    def axis_candidates(dim):
+        if block is not None:
+            b0 = max(block, 2 * ap)
+            return [(-(-dim // b0), b0)]
+        cands = []
+        t = 1
+        while True:
+            b0 = max(-(-dim // t), 2 * ap)
+            if b0 + 2 * ap <= cap:
+                cands.append((t, b0))
+            if b0 == 2 * ap:
+                break
+            t += 1
+        if not cands:
+            raise ValueError(f"axis {dim} has no blocked plan under "
+                             f"canvas cap {cap} (apron {ap})")
+        return cands
+
+    best = None
+    for th, b0h in axis_candidates(h):
+        ch = -(-(b0h + 2 * ap) // 8) * 8
+        for tw, b0w in axis_candidates(w):
+            cw = -(-(b0w + 2 * ap) // 128) * 128
+            cost = th * tw * ch * cw * (ch + cw + _BLOCK_COST_CONST)
+            if best is None or cost < best[0]:
+                best = (cost, th, b0h, tw, b0w)
+    return best[1:]
+
+
 def _blocked_polynomial(x: jnp.ndarray, a, b, c, horner, half: int,
-                        block: int = 448,
+                        block: int | None = None,
                         interpret: bool = False) -> jnp.ndarray:
     """p(K) on an arbitrarily large (N, H, W) canvas batch via a 2D block
     grid of the per-tile fused kernel — exact overlap-save.
@@ -292,7 +343,12 @@ def _blocked_polynomial(x: jnp.ndarray, a, b, c, horner, half: int,
     core: the block's own circular wrap only contaminates the apron ring.
     Extraction and reassembly are pure reshape decompositions
     (patches._split_axis) — no gather chains; the per-block canvases are
-    the only operator-sized buffers anywhere (VMEM-resident).
+    the only operator-sized buffers anywhere (VMEM-resident). The block
+    grid is planned per shape (:func:`_plan_block_grid`): rectangular
+    per-axis blocks sized to minimize padded canvas area x per-pixel DFT
+    cost (a 700px image runs 2x2 blocks of 430px canvas instead of
+    round 3's fixed 448px blocks at 528px canvas — ~1.8x less modeled
+    work).
 
     :param x: (N, H, W) canvas batch (rectangles fine)
     :param a, b, c: (N,) per-sample quadratic-form scalars
@@ -303,16 +359,14 @@ def _blocked_polynomial(x: jnp.ndarray, a, b, c, horner, half: int,
 
     n, h, w = x.shape
     ap = 3 * half + 4  # operator reach, +4 sublane-alignment slack
-    b0 = max(block, 2 * ap)  # _split_axis needs overlap <= 50%
-    th = -(-h // b0)
-    tw = -(-w // b0)
+    th, b0h, tw, b0w = _plan_block_grid(h, w, ap, block=block)
     # wrap-extend by the apron (the canvas circle's own content), then
     # zero-pad out to the block grid (those cores are cropped at the end)
     xw = jnp.pad(x, [(0, 0), (ap, ap), (ap, ap)], mode="wrap")
-    xw = jnp.pad(xw, [(0, 0), (0, th * b0 - h), (0, tw * b0 - w)])
-    rows = _split_axis(xw, th, b0, b0 + 2 * ap, axis=1)      # (Th,N,bh,W')
-    tiles = _split_axis(rows, tw, b0, b0 + 2 * ap, axis=3)   # (Tw,Th,N,bh,bw)
-    bh, bw = b0 + 2 * ap, b0 + 2 * ap
+    xw = jnp.pad(xw, [(0, 0), (0, th * b0h - h), (0, tw * b0w - w)])
+    rows = _split_axis(xw, th, b0h, b0h + 2 * ap, axis=1)     # (Th,N,bh,W')
+    tiles = _split_axis(rows, tw, b0w, b0w + 2 * ap, axis=3)  # (Tw,Th,N,bh,bw)
+    bh, bw = b0h + 2 * ap, b0w + 2 * ap
     blocks = tiles.reshape(tw * th * n, bh, bw)
 
     reps = tw * th
@@ -321,7 +375,7 @@ def _blocked_polynomial(x: jnp.ndarray, a, b, c, horner, half: int,
 
     out = fused_polynomial_pallas(blocks, params, coeffs, False, False,
                                   interpret, half)
-    out = out.reshape(tw, th, n, bh, bw)[:, :, :, ap:ap + b0, ap:ap + b0]
-    # (Tw, Th, N, b0, b0) -> (N, Th*b0, Tw*b0)
-    out = out.transpose(2, 1, 3, 0, 4).reshape(n, th * b0, tw * b0)
+    out = out.reshape(tw, th, n, bh, bw)[:, :, :, ap:ap + b0h, ap:ap + b0w]
+    # (Tw, Th, N, b0h, b0w) -> (N, Th*b0h, Tw*b0w)
+    out = out.transpose(2, 1, 3, 0, 4).reshape(n, th * b0h, tw * b0w)
     return out[:, :h, :w]

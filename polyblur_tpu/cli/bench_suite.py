@@ -128,7 +128,7 @@ def main(argv=None):
     mp = h2 * w2 / 1e6
     f2 = jax.jit(lambda v: deblur_patches(
         v.astype(jnp.bfloat16), patch_size=448, overlap=1.0 / 7.0,
-        method="direct_separable", **full_kw).astype(jnp.float32))
+        method="direct_separable", out_dtype=jnp.float32, **full_kw))
     dt = _time(f2, x2, chain=2)
     rows.append((f"2. {mp:.1f}MP RGB full pipeline, bf16 tiled (serving)",
                  f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
@@ -202,7 +202,7 @@ def main(argv=None):
     f4b = jax.jit(lambda v: deblur_patches(
         v.astype(jnp.bfloat16), patch_size=400, overlap=0.25, n_iter=3,
         c=0.362, b=0.468, alpha=6.0, beta=1.0,
-        method="direct_separable").astype(jnp.float32))
+        method="direct_separable", out_dtype=jnp.float32))
     dt = _time(f4b, big_dev, chain=4)
     rows.append((f"4b. {mp:.0f}MP everything-on-device, ref-default "
                  f"400/25% grid", f"{dt * 1e3:.1f} ms",
@@ -211,7 +211,7 @@ def main(argv=None):
     f4b2 = jax.jit(lambda v: deblur_patches(
         v.astype(jnp.bfloat16), patch_size=576, overlap=64.0 / 576.0,
         n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
-        method="direct_separable").astype(jnp.float32))
+        method="direct_separable", out_dtype=jnp.float32))
     dt = _time(f4b2, big_dev, chain=4)
     rows.append((f"4b2. {mp:.0f}MP everything-on-device, 576/512 grid",
                  f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
@@ -226,7 +226,7 @@ def main(argv=None):
         f4c = jax.jit(lambda v: deblur_patches(
             v.astype(jnp.bfloat16), patch_size=576, overlap=64.0 / 576.0,
             n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
-            method="direct_separable").astype(jnp.float32))
+            method="direct_separable", out_dtype=jnp.float32))
         dt = _time(f4c, big48, chain=2)
         rows.append((f"4c. {mp48:.0f}MP everything-on-device, 576/512 grid",
                      f"{dt * 1e3:.1f} ms", f"{mp48 / dt:.0f} MP/s"))

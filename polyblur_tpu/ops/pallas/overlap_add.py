@@ -107,10 +107,11 @@ def _make_kernel(bsz: int, th: int, tw: int, sh: int, sw: int,
 
 
 @functools.partial(jax.jit, static_argnames=("grid_info", "batch",
-                                             "interpret"))
+                                             "interpret", "out_dtype"))
 def overlap_add_fused(tiles: jnp.ndarray, window: jnp.ndarray,
                       inv_wsum: jnp.ndarray, grid_info, batch: int,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      out_dtype=None) -> jnp.ndarray:
     """Blend a (T*B, C, ph, >=pw) tile batch into a (B, C, Hp, Wp) canvas.
 
     :param tiles: restored tiles in extract_patches layout (T outer,
@@ -123,7 +124,12 @@ def overlap_add_fused(tiles: jnp.ndarray, window: jnp.ndarray,
     :param inv_wsum: (Hp, Wp) f32 reciprocal window-sum (host-computed)
     :param grid_info: static (th, tw, sh, sw, ph, pw) — logical geometry
     :param batch: images per tile coordinate (the original batch B)
-    :returns: blended canvas, clipped to [0, 1], in the tile dtype —
+    :param out_dtype: canvas dtype (default: the tile dtype). The blend
+        accumulates in f32 regardless; ``out_dtype=float32`` on bf16
+        tiles writes that accumulator directly — one less full-canvas
+        cast pass than blending to bf16 and upcasting, and no double
+        rounding.
+    :returns: blended canvas, clipped to [0, 1] —
         still padded (caller crops to the original size)
     """
     th, tw, sh, sw, ph, pw = grid_info
@@ -162,7 +168,8 @@ def overlap_add_fused(tiles: jnp.ndarray, window: jnp.ndarray,
     return pl.pallas_call(
         _make_kernel(batch, th, tw, sh, sw, ph, pw, csz),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, csz, hp, wp), tiles.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, csz, hp, wp),
+                                       out_dtype or tiles.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),

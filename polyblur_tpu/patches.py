@@ -212,13 +212,19 @@ def extract_patches(images: jnp.ndarray, grid: PatchGrid) -> jnp.ndarray:
 
 
 def overlap_add(patches: jnp.ndarray, grid: PatchGrid, batch: int,
-                window_type: str = "kaiser") -> jnp.ndarray:
+                window_type: str = "kaiser", out_dtype=None) -> jnp.ndarray:
     """Blend (T*B, C, ph, pw) tiles back into (B, C, h, w).
 
     Regular grids take the :func:`_join_axis` reshape decomposition (a
     couple of copies + one shifted add per axis) instead of a T-step
     scatter-add chain; the window-sum normalizer is a host-computed
-    constant either way."""
+    constant either way.
+
+    :param out_dtype: canvas dtype (default: the tile dtype). On the
+        fused route the blend accumulates in f32 regardless, so
+        ``out_dtype=float32`` over bf16 tiles is strictly better than
+        blending to bf16 and upcasting (one less full-canvas pass, no
+        double rounding)."""
     ph, pw = grid.patch_size
     H, W = grid.padded_size
     c = patches.shape[1]
@@ -241,7 +247,8 @@ def overlap_add(patches: jnp.ndarray, grid: PatchGrid, batch: int,
             wsum_np[i0:i0 + ph, j0:j0 + pw] += window_np
         inv_wsum = jnp.asarray(1.0 / (wsum_np + 1e-8), jnp.float32)
         out = overlap_add_fused(patches, jnp.asarray(window_np), inv_wsum,
-                                (th, tw, sh, sw, ph, pw), batch)
+                                (th, tw, sh, sw, ph, pw), batch,
+                                out_dtype=out_dtype)
         pt, pb, pl, pr = grid.pad
         h, w = grid.orig_size
         return out[..., pt:pt + h, pl:pl + w]
@@ -249,6 +256,10 @@ def overlap_add(patches: jnp.ndarray, grid: PatchGrid, batch: int,
     from .utils.profiling import record_dispatch
 
     record_dispatch("overlap_add", "xla_join")
+    if out_dtype is not None:
+        # blend in the output dtype (matches the fused route, whose
+        # accumulator is f32 regardless of tile dtype)
+        patches = patches.astype(out_dtype)
     window = jnp.asarray(window_np).astype(patches.dtype)
     patches = patches[..., :pw]  # drop producer lane padding, if any
     tiles = patches.reshape(len(grid.coords), batch, c, ph, pw) * window
@@ -270,6 +281,8 @@ def overlap_add(patches: jnp.ndarray, grid: PatchGrid, batch: int,
     inv_wsum = jnp.asarray(1.0 / (wsum_np[None, None] + 1e-8),
                            jnp.float32).astype(patches.dtype)
     out = jnp.clip(out * inv_wsum, 0.0, 1.0)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
     pt, pb, pl, pr = grid.pad
     h, w = grid.orig_size
     return out[..., pt:pt + h, pl:pl + w]
@@ -277,10 +290,14 @@ def overlap_add(patches: jnp.ndarray, grid: PatchGrid, batch: int,
 
 def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
                    overlap: float = 0.25, window_type: str = "kaiser",
-                   batch_size: Optional[int] = None,
+                   batch_size: Optional[int] = None, out_dtype=None,
                    **polyblur_kwargs) -> jnp.ndarray:
     """Whole patch path: tile -> deblur -> overlap-add.
 
+    :param out_dtype: output canvas dtype (default: the working dtype);
+        ``float32`` over bf16 inputs writes the blend's f32 accumulator
+        directly instead of a separate upcast pass (see
+        :func:`overlap_add`).
     :param batch_size: maximum number of tile coordinates deblurred per
         device batch — the memory ceiling of the reference's sequential host
         loop (deblurring.py:310-336), realised here as a ``lax.scan`` over
@@ -322,7 +339,8 @@ def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
                                            pad_lanes=pad_lanes,
                                            **polyblur_kwargs)
             if restored is not None:  # predicate drift safety
-                return overlap_add(restored, grid, b, window_type)
+                return overlap_add(restored, grid, b, window_type,
+                                   out_dtype=out_dtype)
 
     tiles = extract_patches(images, grid)
     if batch_size is None or batch_size <= 0 or batch_size >= n_tiles:
@@ -342,4 +360,5 @@ def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
         restored = jax.lax.map(
             lambda t: polyblur_core(t, **polyblur_kwargs), chunks)
         restored = restored.reshape(-1, *tiles.shape[1:])[:n_tiles * b]
-    return overlap_add(restored, grid, b, window_type)
+    return overlap_add(restored, grid, b, window_type,
+                       out_dtype=out_dtype)

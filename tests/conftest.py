@@ -26,6 +26,13 @@ import jax
 
 if not _HW:
     jax.config.update("jax_platforms", "cpu")
+else:
+    # Hardware runs: persist compiled executables across runs. Mega-kernel
+    # variants take 10-20 min each through the remote-compile relay; with
+    # the cache a re-run of the full hardware suite is minutes, not an
+    # hour+ of recompiles.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

@@ -154,6 +154,26 @@ def test_irregular_grid_fallback():
                                atol=1e-5, rtol=0)
 
 
+def test_deblur_patches_out_dtype_threading():
+    """``deblur_patches(out_dtype=...)`` reaches the blend: output dtype
+    honored and pixels agree with the default-dtype run (the blend is
+    the only stage the kwarg touches)."""
+    from polyblur_tpu.patches import deblur_patches
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.uniform(size=(1, 3, 220, 260)).astype(np.float32))
+    base = deblur_patches(img.astype(jnp.bfloat16), patch_size=128,
+                          overlap=0.25, n_iter=1, alpha=6.0, beta=1.0,
+                          method="direct_separable")
+    out = deblur_patches(img.astype(jnp.bfloat16), patch_size=128,
+                         overlap=0.25, n_iter=1, alpha=6.0, beta=1.0,
+                         method="direct_separable", out_dtype=jnp.float32)
+    assert base.dtype == jnp.bfloat16 and out.dtype == jnp.float32
+    # pixels agree to bf16 blend precision (the f32 blend is the more
+    # accurate of the two)
+    assert float(jnp.abs(out - base.astype(jnp.float32)).max()) < 0.03
+
+
 def test_fused_overlap_add_interpret_parity():
     """The Pallas overlap-add (interpret mode) matches the XLA join on an
     aligned grid, including lane-padded producer tiles and the no-overlap
@@ -189,6 +209,53 @@ def test_fused_overlap_add_interpret_parity():
         out = out[..., pt_:pt_ + hh, pl_:pl_ + ww]
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=0)
+
+
+def test_overlap_add_out_dtype():
+    """``out_dtype=float32`` over bf16 tiles: the fused route writes its
+    f32 accumulator directly; the XLA join casts at the end. Both must
+    return f32 canvases that agree with the all-f32 blend to bf16 input
+    precision (the fused one is the EXACT f32 blend of the bf16 tiles)."""
+    from polyblur_tpu.patches import _grid_steps
+    from polyblur_tpu.utils.imaging import build_window_np
+    from polyblur_tpu.ops.pallas.overlap_add import overlap_add_fused
+
+    rng = np.random.default_rng(7)
+    g = plan_patch_grid(1000, 900, 576, 1 - 512 / 576.0)
+    th, tw, sh, sw = _grid_steps(g)
+    ph, pw = g.patch_size
+    T = len(g.coords)
+    tiles_f32 = jnp.asarray(
+        rng.uniform(size=(T, 3, ph, pw)).astype(np.float32))
+    tiles_bf = tiles_f32.astype(jnp.bfloat16)
+
+    ref = overlap_add(tiles_bf.astype(jnp.float32), g, 1)  # all-f32 blend
+    out_xla = overlap_add(tiles_bf, g, 1, out_dtype=jnp.float32)
+    assert out_xla.dtype == jnp.float32
+    # the join upcasts before blending -> identical f32 arithmetic
+    np.testing.assert_allclose(np.asarray(out_xla), np.asarray(ref),
+                               atol=1e-7, rtol=0)
+
+    pw_pad = -(-pw // 128) * 128
+    tiles_in = jnp.pad(tiles_bf, ((0, 0), (0, 0), (0, 0),
+                                  (0, pw_pad - pw)))
+    window_np = build_window_np((ph, pw))
+    H, W = g.padded_size
+    wsum = np.zeros((H, W), np.float64)
+    for (i0, j0) in g.coords:
+        wsum[i0:i0 + ph, j0:j0 + pw] += window_np
+    inv = jnp.asarray(1.0 / (wsum + 1e-8), jnp.float32)
+    out_f = overlap_add_fused(tiles_in, jnp.asarray(window_np), inv,
+                              (th, tw, sh, sw, ph, pw), 1,
+                              interpret=True, out_dtype=jnp.float32)
+    assert out_f.dtype == jnp.float32
+    pt_, pb_, pl_, pr_ = g.pad
+    hh, ww = g.orig_size
+    out_f = out_f[..., pt_:pt_ + hh, pl_:pl_ + ww]
+    # identical blend arithmetic in f32 -> exact agreement with the
+    # all-f32 XLA blend of the same bf16 tiles
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref),
+                               atol=1e-5, rtol=0)
 
 
 def test_fused_overlap_add_gate():

@@ -73,7 +73,9 @@ def main(argv=None):
         restored = polyblur_core(
             tiles, n_iter=args.N, c=args.c, b=args.b, alpha=args.alpha,
             beta=args.beta, method="direct_separable")
-        out = overlap_add(restored.astype(jnp.float32), grid, 1)
+        # blend straight to f32 (the fused route's native accumulator) —
+        # no full-tile-tensor upcast pass before the blend
+        out = overlap_add(restored, grid, 1, out_dtype=jnp.float32)
         u8 = (255.0 * jnp.clip(out[0], 0.0, 1.0) + 0.5).astype(jnp.uint8)
         return jnp.transpose(u8, (1, 2, 0))
 

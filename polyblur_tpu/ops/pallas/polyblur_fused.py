@@ -110,8 +110,8 @@ def _make_kernel(n_iter: int, csz: int, do_taper: bool = False,
                cy_ref, sy_ref, er_ref, ei_ref, cyt_ref, syt_ref,
                out_ref, ts_ref, *dma_scratch):
         if dma_grid is not None:
-            bsz, t_w, step_h, step_w = dma_grid
-            xt_ref, sem = dma_scratch
+            bsz, t_w, step_h, step_w, n_prog = dma_grid
+            xt_ref, sem = dma_scratch   # (2, c, hs, ws) double buffer
             _, c, ht, wt = out_ref.shape
             wt -= out_pad  # logical tile width (output may be lane-padded)
             # Mosaic DMA slices must be layout-aligned, but the tile grid
@@ -137,17 +137,45 @@ def _make_kernel(n_iter: int, csz: int, do_taper: bool = False,
             j0a = j0 if stat_aligned else (j0 // 128) * 128
             off_i = i0 - i0a   # in [0, 8)
             off_j = j0 - j0a   # in [0, 128)
-            cp = pltpu.make_async_copy(
-                x_in_ref.at[b, :, pl.ds(i0a, hs), pl.ds(j0a, ws)],
-                xt_ref, sem)
-            cp.start()
-            cp.wait()
-            x_ref = None  # tile lives in xt_ref
+
+            # Cross-program double-buffered prefetch: grid programs run
+            # sequentially on the core and scratch persists across them,
+            # so program t issues the DMA for tile t+1 into the OTHER
+            # buffer before waiting on its own (started by program t-1;
+            # program 0 warms up its own). Measured effect (12MP bf16
+            # A/B, docs/ROUND4_NOTES.md): neutral on the aligned 576/512
+            # grid (the tight window's DMA is already small vs compute),
+            # ~4% on the unaligned 400/300 grid whose enclosing windows
+            # carry an extra (8, 128) layout tile per axis.
+            def _get_dma(slot, prog):
+                tl = prog // bsz
+                bb_ = prog % bsz
+                ii = (tl // t_w) * step_h
+                jj = (tl % t_w) * step_w
+                if not stat_aligned:
+                    ii = (ii // 8) * 8
+                    jj = (jj // 128) * 128
+                return pltpu.make_async_copy(
+                    x_in_ref.at[bb_, :, pl.ds(ii, hs), pl.ds(jj, ws)],
+                    xt_ref.at[slot], sem.at[slot])
+
+            slot = jax.lax.rem(t, 2)
+
+            @pl.when(t == 0)
+            def _():
+                _get_dma(slot, t).start()
+
+            @pl.when(t + 1 < n_prog)
+            def _():
+                _get_dma(jax.lax.rem(t + 1, 2), t + 1).start()
+
+            _get_dma(slot, t).wait()
+            x_ref = None  # tile lives in xt_ref[slot]
 
             def _aligned_plane(ch):
                 if stat_aligned:
-                    return xt_ref[ch][:ht, :wt]
-                z = xt_ref[ch]  # (hs, ws)
+                    return xt_ref[slot, ch][:ht, :wt]
+                z = xt_ref[slot, ch]  # (hs, ws)
                 for bb in (1, 2, 4):
                     bit = jnp.equal(jnp.bitwise_and(off_i, bb), bb)
                     z = jnp.where(bit,
@@ -547,13 +575,13 @@ def _image_call(padded, coeffs, n_iter, grid_info, do_taper=False,
         out_specs=pl.BlockSpec((1, c, ph, pw_out),
                                lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((c, ph, pw), padded.dtype),
-                        pltpu.VMEM((c, hs, ws), padded.dtype),
-                        pltpu.SemaphoreType.DMA],
+                        pltpu.VMEM((2, c, hs, ws), padded.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     return pl.pallas_call(
         _make_kernel(n_iter, c, do_taper=do_taper, do_halo=do_halo,
                      prefilter=prefilter,
-                     dma_grid=(b, t_w, step_h, step_w),
+                     dma_grid=(b, t_w, step_h, step_w, n),
                      out_pad=pw_out - pw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, c, ph, pw_out), padded.dtype),

@@ -14,7 +14,9 @@ Public API (mirrors /root/reference/polyblur/__init__.py:1):
 
 from .api import polyblur_deblurring, PolyblurDeblurring
 from .config import PolyblurConfig
+from .ops.pallas.sep_poly_fused import set_f32_dot_mode, f32_dot_mode
 
 __version__ = "0.1.0"
 
-__all__ = ["polyblur_deblurring", "PolyblurDeblurring", "PolyblurConfig"]
+__all__ = ["polyblur_deblurring", "PolyblurDeblurring", "PolyblurConfig",
+           "set_f32_dot_mode", "f32_dot_mode"]

@@ -54,7 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sep_poly_fused import (_packed_k, _dft_operands_packed,
                              _ydft_operands, _tap_tables_np,
-                             _kernel_spectrum_block, _spectral_poly_block)
+                             _kernel_spectrum_block, _spectral_poly_block,
+                             _split_bf16, f32_dot_mode)
 from ..spectral_matmul import _derivative_matrix_np
 
 __all__ = ["polyblur_tiles_fused"]
@@ -241,6 +242,22 @@ def _make_kernel(n_iter: int, csz: int, do_taper: bool = False,
         if hoist_grads:
             grads0 = [_input_grads(ch) for ch in range(csz)]
 
+        # ------------- DFT operand prep (loop-invariant, hoisted) --------
+        # f32 images in 'compensated' dot mode (see sep_poly_fused
+        # _F32_DOT_MODE) pre-split the constant DFT tables into bf16
+        # (hi, lo) pairs ONCE per program — the operator is applied up to
+        # (3 taper + 1) * csz times per iteration, and the split is pure
+        # relayout/VPU overhead per application. Measured 2x end-to-end on
+        # f32 tile batches vs HIGHEST (docs/ROUND4_NOTES.md f32 dot A/B).
+        dt = ts_ref.dtype
+        fwd = f_ref[...]
+        invm = g_ref[...]
+        cyb = cy_ref[...]
+        syb = sy_ref[...]
+        if dt == jnp.float32 and f32_dot_mode() == "compensated":
+            fwd, invm, cyb, syb = (_split_bf16(m)
+                                   for m in (fwd, invm, cyb, syb))
+
         def iteration(_, carry):
             # ---------------- estimation (shared across channels) -------
             if "noest" in ablate:  # cost-probing only: pinned estimate
@@ -385,13 +402,8 @@ def _make_kernel(n_iter: int, csz: int, do_taper: bool = False,
             # packed x-rDFT, two y-DFT matmuls, the real p(K_hat) multiply,
             # two inverse y-DFT matmuls, packed inverse x-rDFT. DFT matmul
             # inputs run in the image dtype (bf16 serving pipelines keep
-            # the MXU at bf16); spectra stay f32.
-            dt = ts_ref.dtype
-            fwd = f_ref[...]
-            invm = g_ref[...]
-            cyb = cy_ref[...]
-            syb = sy_ref[...]
-
+            # the MXU at bf16; f32 runs compensated bf16x3 via the hoisted
+            # table splits above); spectra stay f32.
             if "nodeconv" not in ablate and "nodft" in ablate:
                 # cost-probing only: skip the DFT chain, keep the rest
                 def poly_apply(u, _q2):

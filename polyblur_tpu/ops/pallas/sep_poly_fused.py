@@ -144,13 +144,45 @@ def _tap_tables_np(h: int, wc: int, half: int):
     return er, ei, cyt, syt
 
 
+#: f32 fast-path MXU dot mode. Mosaic's DEFAULT truncates f32 operands to
+#: bf16 (measured 41.5 dB fast-vs-fft on the flagship — unacceptable);
+#: the two usable modes are
+#:   "compensated" — manual error-compensated bf16x3 split (the classic
+#:       a_hi*b_hi + a_hi*b_lo + a_lo*b_hi; Mosaic rejects Precision.HIGH,
+#:       so the split is written out): 3 native MXU passes per dot,
+#:       dropped lo*lo term ~2^-18-relative per dot;
+#:   "highest" — Precision.HIGHEST (6 bf16 passes, full f32 round-off).
+#: Default "compensated": measured on hardware (docs/ROUND4_NOTES.md) and
+#: still far above every parity gate; set_f32_dot_mode("highest") restores
+#: full f32 round-off for newly compiled programs (already-jitted
+#: callables keep the mode they traced with). bf16 images always run the
+#: native single-pass MXU (output quantization dominates there).
+_F32_DOT_MODE = "compensated"
+
+
+def set_f32_dot_mode(mode: str) -> None:
+    """Select the f32 fast-path dot mode: 'compensated' (default) or
+    'highest'. Affects programs compiled after the call."""
+    global _F32_DOT_MODE
+    if mode not in ("compensated", "highest"):
+        raise ValueError(f"unknown f32 dot mode {mode!r}; expected "
+                         "'compensated' or 'highest'")
+    _F32_DOT_MODE = mode
+
+
+def f32_dot_mode() -> str:
+    return _F32_DOT_MODE
+
+
+def _split_bf16(a):
+    """(hi, lo) bf16 split of an f32 array: a ≈ hi + lo to ~2^-17."""
+    ah = a.astype(jnp.bfloat16)
+    return ah, (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
 def _mm_precision(mdt):
-    """Dot precision for the spectral matmuls: f32 images run HIGHEST
-    (Mosaic's DEFAULT truncates f32 MXU operands to bf16 — measured
-    41.5 dB fast-vs-fft on the flagship; HIGHEST restores f32-grade
-    parity, and f32 is the parity path, not the serving path). bf16
-    images keep the native single-pass MXU (output quantization dominates
-    any matmul rounding there)."""
+    """Dot precision for the spectral matmuls when NOT compensated (see
+    :data:`_F32_DOT_MODE`)."""
     return (jax.lax.Precision.HIGHEST if mdt == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
@@ -185,31 +217,52 @@ def _kernel_spectrum_block(qa, qb, qc, er, ei, cyt, syt, half: int):
                           preferred_element_type=jnp.float32, precision=hi))
 
 
-def _spectral_poly_block(xc, qhat2, fwd, invm, cy, sy, kp):
+def _spectral_poly_block(xc, qhat2, fwd, invm, cy, sy, kp,
+                         compensated=None):
     """One packed-spectral polynomial application on an (h, wc) f32 canvas
     block: p(K) xc with ``qhat2`` the packed [q | q] (h, 2 Kp) spectrum
-    already scaled by 1/h (the inverse y-DFT normalization)."""
-    mdt = fwd.dtype
+    already scaled by 1/h (the inverse y-DFT normalization).
+
+    ``fwd/invm/cy/sy`` may each be an array or a pre-split ``(hi, lo)``
+    bf16 pair (see :func:`_split_bf16`) — callers that apply the operator
+    many times per program hoist the constant-table splits.
+    ``compensated`` overrides the f32 dot mode per call site (None =
+    :data:`_F32_DOT_MODE`; pre-split tables force it on)."""
+    pair = isinstance(fwd, tuple)
+    mdt = (fwd[0] if pair else fwd).dtype
+    if pair:
+        compensated = True
+        mdt = jnp.float32
+    elif compensated is None:
+        compensated = (mdt == jnp.float32
+                       and _F32_DOT_MODE == "compensated")
     prec = _mm_precision(mdt)
+
+    def pdot(a, b):
+        if not compensated:
+            return jax.lax.dot(a.astype(mdt), b.astype(mdt),
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+        ah, al = a if isinstance(a, tuple) else _split_bf16(a)
+        bh, bl = b if isinstance(b, tuple) else _split_bf16(b)
+
+        def d(u, v):
+            return jax.lax.dot(u, v, preferred_element_type=jnp.float32)
+
+        # error-compensated bf16x3: dropped lo*lo term is ~2^-18-relative
+        return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
     sgn = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (1, 2 * kp), 1) < kp, 1.0, -1.0)
 
     def swap(u2):
         return jnp.concatenate([u2[:, kp:], u2[:, :kp]], axis=1)
 
-    ri2 = jax.lax.dot(xc.astype(mdt), fwd,
-                      preferred_element_type=jnp.float32, precision=prec)
-    yf = (jax.lax.dot(cy, ri2.astype(mdt),
-                      preferred_element_type=jnp.float32, precision=prec)
-          + jax.lax.dot(sy, (swap(ri2) * sgn).astype(mdt),
-                        preferred_element_type=jnp.float32, precision=prec))
+    ri2 = pdot(xc, fwd)
+    yf = pdot(cy, ri2) + pdot(sy, swap(ri2) * sgn)
     p2 = qhat2 * yf
-    yi = (jax.lax.dot(cy, p2.astype(mdt),
-                      preferred_element_type=jnp.float32, precision=prec)
-          + jax.lax.dot(sy, (swap(p2) * (-sgn)).astype(mdt),
-                        preferred_element_type=jnp.float32, precision=prec))
-    return jax.lax.dot(yi.astype(mdt), invm,
-                       preferred_element_type=jnp.float32, precision=prec)
+    yi = pdot(cy, p2) + pdot(sy, swap(p2) * (-sgn))
+    return pdot(yi, invm)
 
 
 def _make_kernel(replicate_pad: bool, clip: bool, half: int):
@@ -245,8 +298,14 @@ def _make_kernel(replicate_pad: bool, clip: bool, half: int):
         qhat = ((a3 * khat + a2) * khat + a1) * khat + beta
         qhat2 = jnp.concatenate([qhat, qhat], axis=1) * (1.0 / h)
         kp = er_ref.shape[1]
+        # compensated=False: measured on v5e (docs/ROUND4_NOTES.md f32 dot
+        # mode A/B) the bf16x3 split LOSES ~1.5x on this one-application-
+        # per-program kernel at blocked-route canvas sizes — the split's
+        # relayout/VPU overhead isn't amortized — while the mega kernel
+        # (many applications per program, hoisted table splits) wins ~2x.
         out = _spectral_poly_block(xf, qhat2, fwd_ref[...], inv_ref[...],
-                                   cy_ref[...], sy_ref[...], kp)
+                                   cy_ref[...], sy_ref[...], kp,
+                                   compensated=False)
         if clip:
             out = jnp.clip(out, 0.0, 1.0)
         if replicate_pad:

@@ -136,11 +136,16 @@ def _spectral2d(x: jnp.ndarray, a, b, c, horner, half: int) -> jnp.ndarray:
     dt = x.dtype
     qhat = _horner_spectrum(kernel_spectrum(a, b, c, h, w, half), horner)
     if jax.default_backend() == "tpu":
-        from .pallas.sep_poly_fused import _dft_mats_np, _ydft_mats_np
+        from .pallas.sep_poly_fused import (_dft_mats_np, _ydft_mats_np,
+                                            f32_dot_mode)
 
         cfm, sfm, ai, bi = (jnp.asarray(m) for m in _dft_mats_np(w))
         cy, sy = (jnp.asarray(m) for m in _ydft_mats_np(h))
-        hi = jax.lax.Precision.HIGHEST
+        # XLA supports Precision.HIGH (bf16x3) natively — the same
+        # compensated product the Pallas kernels write out by hand.
+        hi = (jax.lax.Precision.HIGH
+              if f32_dot_mode() == "compensated"
+              else jax.lax.Precision.HIGHEST)
         xf = x.astype(jnp.float32)
         re = jnp.einsum("nhw,wk->nhk", xf, cfm, precision=hi)
         im = -jnp.einsum("nhw,wk->nhk", xf, sfm, precision=hi)

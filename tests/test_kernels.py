@@ -224,8 +224,12 @@ def test_fused_estimation_interpret_matches_xla(peacock):
 
 def test_mega_kernel_interpret_matches_pipeline(peacock):
     """The whole-pipeline mega-kernel (interpret mode) must match the
-    composed XLA pipeline."""
+    composed XLA pipeline: to f32 round-off in 'highest' dot mode, and
+    within the compensated bf16x3 budget (~2^-18-relative per dot, see
+    sep_poly_fused._F32_DOT_MODE) in the default mode."""
     from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused
+    from polyblur_tpu.ops.pallas.sep_poly_fused import (f32_dot_mode,
+                                                        set_f32_dot_mode)
     from polyblur_tpu.pipeline import polyblur_core
 
     x = jnp.asarray(peacock[:96, :96].transpose(2, 0, 1))[None]
@@ -235,9 +239,17 @@ def test_mega_kernel_interpret_matches_pipeline(peacock):
     a1 = 5 - 3 * beta + alpha / 2
     coeffs = jnp.asarray([a3, a2, a1, beta, 0.362, 0.468, 2.0, 0.8],
                          jnp.float32)
-    out = polyblur_tiles_fused(x, coeffs, 2, interpret=True)
     ref = polyblur_core(x, n_iter=2, c=0.362, b=0.468, alpha=alpha,
                         beta=beta, method="direct_separable")
+    out_c = polyblur_tiles_fused(x, coeffs, 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref),
+                               atol=1e-4, rtol=0)
+    prev = f32_dot_mode()
+    set_f32_dot_mode("highest")
+    try:
+        out = polyblur_tiles_fused(x, coeffs, 2, interpret=True)
+    finally:
+        set_f32_dot_mode(prev)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
                                rtol=0)
 
@@ -272,7 +284,7 @@ def test_mega_kernel_bf16_interpret_tracks_f32(peacock):
     assert psnr(np.asarray(full, np.float32), np.asarray(ref_full)) > 40.0
 
 
-def test_mega_kernel_odd_sizes_interpret(peacock):
+def test_mega_kernel_odd_sizes_interpret(peacock, highest_dots):
     from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused
     from polyblur_tpu.pipeline import polyblur_core
 
@@ -296,7 +308,25 @@ def _mega_coeffs(alpha=6.0, beta=1.0, c=0.362, b=0.468,
                         sigma_s, sigma_r], jnp.float32)
 
 
-def test_mega_kernel_halo_interpret_matches_pipeline(peacock):
+@pytest.fixture
+def highest_dots():
+    """Run a test with f32 dots at HIGHEST (full f32 round-off): the
+    structural feature-parity tests below assert 1e-5 absolute agreement
+    with the composed pipeline so a real in-kernel feature bug fails
+    loudly; the default compensated bf16x3 mode's ~2^-18-relative budget
+    is pinned separately (test_mega_kernel_interpret_matches_pipeline)."""
+    from polyblur_tpu.ops.pallas.sep_poly_fused import (f32_dot_mode,
+                                                        set_f32_dot_mode)
+
+    prev = f32_dot_mode()
+    set_f32_dot_mode("highest")
+    try:
+        yield
+    finally:
+        set_f32_dot_mode(prev)
+
+
+def test_mega_kernel_halo_interpret_matches_pipeline(peacock, highest_dots):
     """In-kernel gradient-inversion masking vs the composed pipeline."""
     from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused
     from polyblur_tpu.pipeline import polyblur_core
@@ -310,7 +340,7 @@ def test_mega_kernel_halo_interpret_matches_pipeline(peacock):
                                rtol=0)
 
 
-def test_mega_kernel_prefilters_interpret_match_pipeline(peacock):
+def test_mega_kernel_prefilters_interpret_match_pipeline(peacock, highest_dots):
     """In-kernel bilateral / domain-transform prefilters vs the composed
     pipeline (same smoother wired through polyblur_core)."""
     from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused
@@ -328,7 +358,7 @@ def test_mega_kernel_prefilters_interpret_match_pipeline(peacock):
                                    atol=1e-5, rtol=0, err_msg=prefilter)
 
 
-def test_mega_kernel_taper_interpret_matches_pipeline(peacock):
+def test_mega_kernel_taper_interpret_matches_pipeline(peacock, highest_dots):
     """In-kernel edgetaper vs the composed pipeline (both now apply the
     taper blur with the exact spectral operator)."""
     from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused
@@ -343,7 +373,7 @@ def test_mega_kernel_taper_interpret_matches_pipeline(peacock):
                                rtol=0)
 
 
-def test_mega_kernel_full_features_interpret(peacock):
+def test_mega_kernel_full_features_interpret(peacock, highest_dots):
     """The BASELINE config-2 feature set (taper + DT prefilter + halo), all
     in one kernel, against the composed pipeline."""
     from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused

@@ -2,7 +2,7 @@
 
 BASELINE.json config 4: 12MP image, bf16, tiled with per-tile blur
 estimation, 3 Polyblur iterations. The shipped grid is 576px tiles at
-step 512 (statically aligned, 1.27x redundancy — see the inline note
+step 512 (statically aligned, 1.33x redundancy at 12MP — see the inline note
 below); cli/bench_suite.py keeps the reference-default 400px/25% grid as
 its config-4b row. Reference throughput to beat: ~35 MP/s (0.35MP peacock
 in "about 10ms" on an unspecified GPU, reference main.py:122-123);
@@ -94,7 +94,7 @@ def main():
     # (main.py:122-128).
     # 576px tiles at step 512: statically (8, 128)-aligned steps (the DMA
     # route skips its de-offset), 64px seams (>= 2x the 25-tap kernel
-    # support), tile redundancy 1.27x vs 1.78x at the reference's
+    # support), tile redundancy 1.33x at 12MP vs 1.78x at the reference's
     # 400px/25% default, equal restoration quality (both tilings agree
     # with the whole-image fft oracle at ~40 dB; bench_suite keeps a
     # reference-default-grid row as config 4b).

@@ -14,9 +14,10 @@ Public API (mirrors /root/reference/polyblur/__init__.py:1):
 
 from .api import polyblur_deblurring, PolyblurDeblurring
 from .config import PolyblurConfig
-from .ops.pallas.sep_poly_fused import set_f32_dot_mode, f32_dot_mode
+from .ops.pallas.sep_poly_fused import (set_f32_dot_mode, f32_dot_mode,
+                                        f32_dot_mode_scope)
 
 __version__ = "0.1.0"
 
 __all__ = ["polyblur_deblurring", "PolyblurDeblurring", "PolyblurConfig",
-           "set_f32_dot_mode", "f32_dot_mode"]
+           "set_f32_dot_mode", "f32_dot_mode", "f32_dot_mode_scope"]

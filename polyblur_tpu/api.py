@@ -34,18 +34,11 @@ __all__ = ["polyblur_deblurring", "PolyblurDeblurring"]
 #: inflates a 704px image to a 1088px canvas — 2.7x the pixels).
 _TILE_CANDIDATES = ((576, 512), (448, 384), (320, 256))
 
-#: Per-pixel cost handicap of the whole-image blocked route relative to the
-#: tiled mega kernel (blocked apron redundancy + per-block estimation-free
-#: spectrum rebuilds; re-measured on hardware each round — see
-#: docs/ROUND4_NOTES.md).
-_BLOCKED_COST_FACTOR = 2.2
-
-#: ``method='auto'`` keeps whole-image (reference-exact, single global blur
-#: estimate) semantics below this area: the blocked route serves sub-4MP
-#: images at high rate, and per-tile estimation is only clearly the right
-#: trade on genuinely large images (the reference's own patch mode is
-#: opt-in, deblurring.py:251).
-_AUTO_TILE_MIN_AREA = 4_000_000
+# Cost-model constants (hardware-measured; single source of truth in
+# envelopes.py, re-validated by tests/test_hardware.py's cost-model and
+# boundary-sweep tests).
+from .envelopes import (BLOCKED_COST_FACTOR as _BLOCKED_COST_FACTOR,
+                        AUTO_TILE_MIN_AREA as _AUTO_TILE_MIN_AREA)
 
 
 def _auto_tile_wanted(h: int, w: int, cap: int) -> bool:

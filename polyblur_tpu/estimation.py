@@ -147,12 +147,13 @@ def _mags_fast(img: jnp.ndarray, n_angles: int) -> jnp.ndarray:
     # the fused kernel holds the (W, W)/(H, H) derivative operators and
     # the gradient fields in VMEM — only viable at tile scale; whole
     # images take the XLA chain (whose matmul/fft backend auto-switches).
-    # The 640 cap matches the mega-kernel envelope (pipeline._MEGA_MAX_TILE,
-    # VERDICT r2 weak #7): compile-probed on v5e at 576 and 640 with the
-    # kernel's 100MB scoped-VMEM limit.
+    # The cap is the shared mega-kernel envelope (compile-probed on v5e
+    # at 576 and 640 with the kernel's 100MB scoped-VMEM limit).
+    from .envelopes import MEGA_MAX_TILE
     from .utils.profiling import record_dispatch
 
-    if jax.default_backend() == "tpu" and max(img.shape[-2:]) <= 640:
+    if (jax.default_backend() == "tpu"
+            and max(img.shape[-2:]) <= MEGA_MAX_TILE):
         from .ops.pallas.est_fused import directional_maxima_pallas
 
         record_dispatch("directional_maxima", "pallas_fused")

@@ -93,9 +93,11 @@ def recursive_filter(img: jnp.ndarray, sigma_s: float = 60.0,
         # same row kernel on the swapaxed image, so BOTH spatial extents
         # must respect the per-block VMEM budget (ADVICE r2: gating only
         # the width let a >32K-tall image through).
+        from ..envelopes import IIR_MAX_EDGE
+
         edge = max(img.shape[-2:])
         on_tpu = jax.default_backend() == "tpu"
-        backend = "pallas" if on_tpu and edge <= 32768 else "xla"
+        backend = "pallas" if on_tpu and edge <= IIR_MAX_EDGE else "xla"
     J = img if joint_image is None else joint_image
     dHdx, dVdy_t = _domain_transform_derivatives(J, sigma_s, sigma_r)
 

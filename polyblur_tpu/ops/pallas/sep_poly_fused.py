@@ -31,6 +31,7 @@ the Pallas kernel only runs forward.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 
@@ -162,7 +163,12 @@ _F32_DOT_MODE = "compensated"
 
 def set_f32_dot_mode(mode: str) -> None:
     """Select the f32 fast-path dot mode: 'compensated' (default) or
-    'highest'. Affects programs compiled after the call."""
+    'highest'. Affects programs compiled after the call.
+
+    CAVEAT (trace-time state): already-jitted callables keep the mode
+    they traced with, and the global is not thread-safe. Prefer the
+    scoped :func:`f32_dot_mode_scope` in tests and A/B probes — it
+    restores the previous mode even on exceptions."""
     global _F32_DOT_MODE
     if mode not in ("compensated", "highest"):
         raise ValueError(f"unknown f32 dot mode {mode!r}; expected "
@@ -172,6 +178,20 @@ def set_f32_dot_mode(mode: str) -> None:
 
 def f32_dot_mode() -> str:
     return _F32_DOT_MODE
+
+
+@contextlib.contextmanager
+def f32_dot_mode_scope(mode: str):
+    """Context manager around :func:`set_f32_dot_mode`: sets ``mode`` for
+    the dynamic extent of the block and always restores the previous
+    mode. The same trace-time caveat applies inside the block (functions
+    jitted BEFORE entering keep their traced mode)."""
+    prev = _F32_DOT_MODE
+    set_f32_dot_mode(mode)
+    try:
+        yield
+    finally:
+        set_f32_dot_mode(prev)
 
 
 def _split_bf16(a):

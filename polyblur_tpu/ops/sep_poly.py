@@ -49,9 +49,10 @@ __all__ = ["compute_polynomial_separable", "spectral_blur",
 
 # Largest canvas edge (rows or columns, incl. the fused replicate pad) for
 # which the single-program fused Pallas kernel keeps its canvas, packed
-# spectra and DFT tables VMEM-resident. 664 admits a 640px whole image
-# (640 + 2*12 prepad) — the same capability envelope as rounds 2-3.
-_FUSED_MAX_CANVAS = 664
+# spectra and DFT tables VMEM-resident — admits a MEGA_MAX_TILE whole
+# image plus the 2*12 prepad (single source of truth: envelopes.py).
+from ..envelopes import (FUSED_MAX_CANVAS as _FUSED_MAX_CANVAS,
+                         BLOCK_COST_CONST as _BLOCK_COST_CONST)
 
 
 def _fused_path_eligible(h: int, w: int, prepad: bool,
@@ -284,14 +285,6 @@ def _apply_param_operator(img, sigma, rho, theta, horner,
     return jnp.clip(out, 0.0, 1.0) if clip else out
 
 
-#: Modeled per-pixel cost of the non-DFT kernel work (spectrum multiply,
-#: DMA/copies) relative to one row/column of DFT matmul accumulation —
-#: damps the block planner away from degenerately small blocks whose
-#: per-program overheads would dominate. Validated on hardware
-#: (docs/ROUND4_NOTES.md block-planner sweep).
-_BLOCK_COST_CONST = 200.0
-
-
 def _plan_block_grid(h: int, w: int, ap: int, cap: int = _FUSED_MAX_CANVAS,
                      block: int | None = None):
     """(th, b0h, tw, b0w) block grid for :func:`_blocked_polynomial`.
@@ -309,6 +302,10 @@ def _plan_block_grid(h: int, w: int, ap: int, cap: int = _FUSED_MAX_CANVAS,
     def axis_candidates(dim):
         if block is not None:
             b0 = max(block, 2 * ap)
+            if b0 + 2 * ap > cap:
+                raise ValueError(
+                    f"block override {block} builds a {b0 + 2 * ap}px "
+                    f"canvas past the VMEM envelope cap {cap}")
             return [(-(-dim // b0), b0)]
         cands = []
         t = 1

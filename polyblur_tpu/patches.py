@@ -256,11 +256,15 @@ def overlap_add(patches: jnp.ndarray, grid: PatchGrid, batch: int,
     from .utils.profiling import record_dispatch
 
     record_dispatch("overlap_add", "xla_join")
-    if out_dtype is not None:
-        # blend in the output dtype (matches the fused route, whose
-        # accumulator is f32 regardless of tile dtype)
-        patches = patches.astype(out_dtype)
-    window = jnp.asarray(window_np).astype(patches.dtype)
+    # Blend in the WIDEST of tile/output dtype (the fused route always
+    # accumulates in f32): a narrower out_dtype (e.g. bf16 over f32
+    # tiles) must round only the final canvas, never the blend itself.
+    blend_dt = patches.dtype
+    if out_dtype is not None and jnp.finfo(out_dtype).bits > jnp.finfo(
+            blend_dt).bits:
+        blend_dt = jnp.dtype(out_dtype)
+    patches = patches.astype(blend_dt)
+    window = jnp.asarray(window_np).astype(blend_dt)
     patches = patches[..., :pw]  # drop producer lane padding, if any
     tiles = patches.reshape(len(grid.coords), batch, c, ph, pw) * window
 
@@ -281,7 +285,7 @@ def overlap_add(patches: jnp.ndarray, grid: PatchGrid, batch: int,
     inv_wsum = jnp.asarray(1.0 / (wsum_np[None, None] + 1e-8),
                            jnp.float32).astype(patches.dtype)
     out = jnp.clip(out * inv_wsum, 0.0, 1.0)
-    if out_dtype is not None:
+    if out_dtype is not None and out.dtype != jnp.dtype(out_dtype):
         out = out.astype(out_dtype)
     pt, pb, pl, pr = grid.pad
     h, w = grid.orig_size

@@ -28,18 +28,12 @@ from .ops.fourier import spectral_gradients
 __all__ = ["polyblur_core", "edge_aware_filtering", "mega_restore_padded",
            "mega_padded_eligible"]
 
-_MEGA_MAX_TILE = 640
-# Scoped-VMEM envelope is feature-dependent (measured on v5e through the
-# AOT relay): the full feature set through the domain-transform smoother
-# needs ~298 B/px of kernel stack — 122.16MB at 640px against the 100MB
-# scoped limit (and unfittable even at the 128MB physical VMEM once block
-# buffers are counted); 576px (~99MB estimated) still fails, 512px
-# compiles and runs. The Hillis-Steele IIR scans' doubling-step
-# temporaries are what separates dt from the other feature sets: plain
-# and full-feature-bilateral both fit at 640px (probed). The gate must
+# Scoped-VMEM envelopes are feature-dependent and hardware-measured; the
+# values live in envelopes.py (single source of truth). The gate must
 # reject what Mosaic cannot compile: dispatch falls back to the composed
 # path instead of crashing the compiler.
-_MEGA_MAX_TILE_DT = 512
+from .envelopes import (MEGA_MAX_TILE as _MEGA_MAX_TILE,
+                        MEGA_MAX_TILE_DT as _MEGA_MAX_TILE_DT)
 
 
 def mega_tile_cap(prefiltering: bool, smoother: str) -> int:

@@ -228,8 +228,7 @@ def test_mega_kernel_interpret_matches_pipeline(peacock):
     within the compensated bf16x3 budget (~2^-18-relative per dot, see
     sep_poly_fused._F32_DOT_MODE) in the default mode."""
     from polyblur_tpu.ops.pallas.polyblur_fused import polyblur_tiles_fused
-    from polyblur_tpu.ops.pallas.sep_poly_fused import (f32_dot_mode,
-                                                        set_f32_dot_mode)
+    from polyblur_tpu.ops.pallas.sep_poly_fused import f32_dot_mode_scope
     from polyblur_tpu.pipeline import polyblur_core
 
     x = jnp.asarray(peacock[:96, :96].transpose(2, 0, 1))[None]
@@ -244,12 +243,8 @@ def test_mega_kernel_interpret_matches_pipeline(peacock):
     out_c = polyblur_tiles_fused(x, coeffs, 2, interpret=True)
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref),
                                atol=1e-4, rtol=0)
-    prev = f32_dot_mode()
-    set_f32_dot_mode("highest")
-    try:
+    with f32_dot_mode_scope("highest"):
         out = polyblur_tiles_fused(x, coeffs, 2, interpret=True)
-    finally:
-        set_f32_dot_mode(prev)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
                                rtol=0)
 
@@ -315,15 +310,10 @@ def highest_dots():
     with the composed pipeline so a real in-kernel feature bug fails
     loudly; the default compensated bf16x3 mode's ~2^-18-relative budget
     is pinned separately (test_mega_kernel_interpret_matches_pipeline)."""
-    from polyblur_tpu.ops.pallas.sep_poly_fused import (f32_dot_mode,
-                                                        set_f32_dot_mode)
+    from polyblur_tpu.ops.pallas.sep_poly_fused import f32_dot_mode_scope
 
-    prev = f32_dot_mode()
-    set_f32_dot_mode("highest")
-    try:
+    with f32_dot_mode_scope("highest"):
         yield
-    finally:
-        set_f32_dot_mode(prev)
 
 
 def test_mega_kernel_halo_interpret_matches_pipeline(peacock, highest_dots):

@@ -404,3 +404,43 @@ def test_overlap_add_xla_blends_in_wide_dtype():
     # the bf16 canvas must be exactly the f32 blend rounded once
     np.testing.assert_array_equal(
         np.asarray(out_bf16), np.asarray(out_f32.astype(jnp.bfloat16)))
+
+
+def test_calibration_on_hr_corpus():
+    """(c, b) calibration pin across the WIDENED corpus (VERDICT r4
+    next-step #3): the reference protocol (1% noise, 180 interpolated
+    angles, MAE linprog, 400px patches — calibrate_blur_parameters.py)
+    over all 12 committed ~2MP corpus_hr images (72 samples).
+
+    Measured on this corpus: c_normal 0.5533, c_ortho 0.3421 — both
+    within the +-0.2 image-statistics envelope of the published DIV2K
+    value 0.362 (the README itself warns (c, b) are implementation- and
+    data-specific); intercepts |b| ~ 0.56-1.10. The tight pins are
+    REGRESSION values for this (corpus, seed, protocol) tuple: any
+    change to the estimation chain's discretization fails here across
+    12 diverse images, not just the 3-photo calib set."""
+    from PIL import Image
+
+    from polyblur_tpu.cli.calibrate import calibrate
+
+    d = os.path.join(DATA, "corpus_hr")
+    names = sorted(os.path.splitext(f)[0] for f in os.listdir(d)
+                   if f.endswith(".png"))
+    assert len(names) >= 10
+    imgs = [np.asarray(Image.open(os.path.join(d, n + ".png"))
+                       ).astype(np.float32) / 255.0 for n in names]
+    res = calibrate(imgs, n_kernels=6, patch_size=400, noise_std=0.01,
+                    seed=0, n_interpolated_angles=180, verbose=False)
+    c_n = res["normal"]["c"]
+    c_o = res["orthogonal"]["c"]
+    assert abs(c_n - 0.5533) < 0.03, c_n
+    assert abs(c_o - 0.3421) < 0.03, c_o
+    # relation to the published DIV2K constants (reference README.md:101)
+    assert abs(c_n - 0.362) < 0.2 and abs(c_o - 0.362) < 0.2
+    assert abs(res["normal"]["b"]) < 1.2
+    assert abs(res["orthogonal"]["b"]) < 1.2
+    for k in ("normal", "orthogonal"):
+        xs = np.asarray(res[k]["x"])
+        ys = np.asarray(res[k]["y"])
+        assert res[k]["slope"] > 0.0
+        assert np.corrcoef(xs, ys)[0, 1] > 0.65, k

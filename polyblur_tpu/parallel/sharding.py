@@ -87,8 +87,10 @@ def deblur_sharded(images: jnp.ndarray, mesh: Mesh, patch_size: int = 400,
     b, c, h, w = images.shape
     grid = plan_patch_grid(h, w, patch_size, overlap)
     n_tiles = len(grid.coords)
-    tile_shards = mesh.shape["tile"]
-    n_padded = _pad_to_multiple(n_tiles * b, tile_shards)
+    # The T*B axis is flattened over BOTH mesh axes (P(('data','tile'))),
+    # so it must divide the total device count, not just the tile axis.
+    shards = mesh.shape["data"] * mesh.shape["tile"]
+    n_padded = _pad_to_multiple(n_tiles * b, shards)
 
     tiles = extract_patches(images, grid)  # (T*B, C, ph, pw)
     if n_padded != n_tiles * b:

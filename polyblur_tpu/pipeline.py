@@ -46,9 +46,15 @@ def mega_tile_cap(prefiltering: bool, smoother: str) -> int:
 
 def _mega_static_ok(method, remat, discard_saturation, multichannel_kernel,
                     prefiltering, smoother, q, ker_size, n_angles,
-                    n_interpolated_angles, h, w, disable=False) -> bool:
+                    n_interpolated_angles, h, w, disable=False,
+                    interpret=False) -> bool:
     """Static eligibility of the whole-pipeline mega-kernel (rectangular
-    tiles are fine — the 2D-spectral operator has no orientation frame)."""
+    tiles are fine — the 2D-spectral operator has no orientation frame).
+
+    ``interpret`` admits non-TPU backends by running the kernel in Pallas
+    interpret mode — used to exercise the real fused route (not its XLA
+    fallback) under the multi-device virtual CPU mesh (VERDICT r4 #4).
+    """
     cap = mega_tile_cap(prefiltering, smoother)
     return (method == "direct_separable" and not disable and not remat
             and not (discard_saturation or multichannel_kernel)
@@ -57,7 +63,7 @@ def _mega_static_ok(method, remat, discard_saturation, multichannel_kernel,
             and q == 0.0 and ker_size == 25 and n_angles == 6
             and n_interpolated_angles == 30
             and max(h, w) <= cap
-            and jax.default_backend() == "tpu")
+            and (jax.default_backend() == "tpu" or interpret))
 
 
 def _mega_pack(c, b, alpha, beta, sigma_s, sigma_r):
@@ -77,6 +83,7 @@ def mega_padded_eligible(grid_info, ker_size: int = 25, q: float = 0.0,
                          discard_saturation: bool = False,
                          multichannel_kernel: bool = False,
                          remat: bool = False, _disable_mega: bool = False,
+                         _mega_interpret: bool = False,
                          **_traced_ignored) -> bool:
     """Static-only eligibility of :func:`mega_restore_padded` — callable
     BEFORE building the padded canvas (so a fallback pays no wasted pad).
@@ -91,7 +98,8 @@ def mega_padded_eligible(grid_info, ker_size: int = 25, q: float = 0.0,
     return _mega_static_ok(method, remat, discard_saturation,
                            multichannel_kernel, prefiltering, smoother, q,
                            ker_size, n_angles, n_interpolated_angles,
-                           ph, pw, disable=_disable_mega)
+                           ph, pw, disable=_disable_mega,
+                           interpret=_mega_interpret)
 
 
 def mega_restore_padded(padded: jnp.ndarray, grid_info, n_iter: int = 1,
@@ -104,6 +112,7 @@ def mega_restore_padded(padded: jnp.ndarray, grid_info, n_iter: int = 1,
                         multichannel_kernel: bool = False,
                         method: str = "fft", smoother: str = "bilateral",
                         remat: bool = False, _disable_mega: bool = False,
+                        _mega_interpret: bool = False,
                         pad_lanes: bool = False):
     """Image-input mega kernel over a pre-padded tile canvas, or None.
 
@@ -124,7 +133,7 @@ def mega_restore_padded(padded: jnp.ndarray, grid_info, n_iter: int = 1,
             prefiltering=prefiltering, smoother=smoother, q=q,
             ker_size=ker_size, n_angles=n_angles,
             n_interpolated_angles=n_interpolated_angles,
-            _disable_mega=_disable_mega):
+            _disable_mega=_disable_mega, _mega_interpret=_mega_interpret):
         return None
     from .ops.pallas.polyblur_fused import polyblur_image_fused
     from .utils.profiling import record_dispatch
@@ -138,6 +147,7 @@ def mega_restore_padded(padded: jnp.ndarray, grid_info, n_iter: int = 1,
         return polyblur_image_fused(padded, coeffs, n_iter,
                                     grid_info, do_taper=edgetaping,
                                     do_halo=remove_halo, prefilter=prefilter,
+                                    interpret=_mega_interpret,
                                     pad_lanes=pad_lanes)
 
 
@@ -167,7 +177,8 @@ def edge_aware_filtering(img: jnp.ndarray, sigma_s, sigma_r,
 @partial(jax.jit, static_argnames=(
     "n_iter", "ker_size", "q", "n_angles", "n_interpolated_angles",
     "remove_halo", "edgetaping", "prefiltering", "discard_saturation",
-    "multichannel_kernel", "method", "smoother", "remat", "_disable_mega"))
+    "multichannel_kernel", "method", "smoother", "remat", "_disable_mega",
+    "_mega_interpret"))
 def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
                   alpha=2.0, beta=3.0, sigma_r=0.8, sigma_s=2.0,
                   ker_size: int = 25, q: float = 0.0, n_angles: int = 6,
@@ -176,7 +187,8 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
                   discard_saturation: bool = False,
                   multichannel_kernel: bool = False, method: str = "fft",
                   smoother: str = "bilateral", remat: bool = False,
-                  _disable_mega: bool = False) -> jnp.ndarray:
+                  _disable_mega: bool = False,
+                  _mega_interpret: bool = False) -> jnp.ndarray:
     """Blind deblurring of a batch of images.
 
     :param img: (B, C, H, W) array in [0, 1]
@@ -191,7 +203,8 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
     if _mega_static_ok(method, remat, discard_saturation,
                        multichannel_kernel, prefiltering, smoother, q,
                        ker_size, n_angles, n_interpolated_angles,
-                       img.shape[-2], img.shape[-1], disable=_disable_mega):
+                       img.shape[-2], img.shape[-1], disable=_disable_mega,
+                       interpret=_mega_interpret):
         # the whole-pipeline mega-kernel: every iteration of estimation +
         # (optional prefilter/edgetaper/halo) + deconvolution in one
         # VMEM-resident program per tile
@@ -207,7 +220,8 @@ def polyblur_core(img: jnp.ndarray, n_iter: int = 1, c=0.352, b=0.768,
             return polyblur_tiles_fused(img, coeffs, n_iter,
                                         do_taper=edgetaping,
                                         do_halo=remove_halo,
-                                        prefilter=prefilter)
+                                        prefilter=prefilter,
+                                        interpret=_mega_interpret)
 
     from .utils.profiling import record_dispatch
 

@@ -174,3 +174,63 @@ def test_multihost_mesh_rejects_host_straddling_data_axis(monkeypatch):
         distributed.make_multihost_mesh(data_axis=1)
     with pytest.raises(ValueError, match="straddle"):
         distributed.make_multihost_mesh(data_axis=3)
+
+
+@needs_8
+def test_mega_kernel_runs_under_multi_device_shard_map():
+    """VERDICT r4 #4: the multi-chip serving configuration — the REAL
+    fused mega kernel (not its XLA fallback) executing inside a
+    multi-device shard_map over the tile axis. On the virtual CPU mesh
+    the kernel runs in Pallas interpret mode (`_mega_interpret=True`,
+    same kernel code path as hardware); the dispatch log must show
+    mega_pallas compiled, and the result must match the composed XLA
+    pipeline through the same sharded patch engine."""
+    from polyblur_tpu.utils.profiling import dispatch_log, reset_dispatch_log
+
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.uniform(size=(1, 3, 96, 96)).astype(np.float32))
+    mesh = make_mesh(jax.devices()[:8], data_axis=1)
+    reset_dispatch_log()
+    fused = deblur_sharded(img, mesh, patch_size=48, overlap=0.25, n_iter=2,
+                           alpha=6.0, beta=1.0, method="direct_separable",
+                           _mega_interpret=True)
+    log = dispatch_log()
+    assert ("polyblur_core", "mega_pallas") in log, log
+    composed = deblur_sharded(img, mesh, patch_size=48, overlap=0.25,
+                              n_iter=2, alpha=6.0, beta=1.0,
+                              method="direct_separable")
+    assert ("polyblur_core", "scan/direct_separable") in dispatch_log()
+    # compensated bf16x3 dot budget (~2^-18-relative per dot) vs the
+    # composed pipeline's HIGH-precision einsums
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(composed),
+                               atol=2e-4, rtol=0)
+
+
+@needs_8
+def test_mega_image_dma_kernel_under_multi_device_mesh():
+    """The image-input DMA mega kernel (each program copies its tile
+    window out of the padded canvas) under a multi-device mesh: the
+    canvas batch is sharded over the mesh ('data' over batch), each
+    device runs the full fused DMA route on its local canvases —
+    the other leg of the multi-chip serving configuration (whole
+    canvases data-parallel, tiles cut in-kernel)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from polyblur_tpu.parallel.sharding import _shard_map
+    from polyblur_tpu.patches import deblur_patches
+
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.uniform(size=(8, 1, 96, 96)).astype(np.float32))
+    mesh = make_mesh(jax.devices()[:8], data_axis=2)
+    local = partial(deblur_patches, patch_size=48, overlap=1.0 / 3.0,
+                    n_iter=1, alpha=6.0, beta=1.0,
+                    method="direct_separable", _mega_interpret=True)
+    spec = P(("data", "tile"), None, None, None)
+    out = jax.jit(_shard_map(local, mesh, spec, spec))(
+        jax.device_put(imgs, jax.sharding.NamedSharding(mesh, spec)))
+    ref = deblur_patches(imgs, patch_size=48, overlap=1.0 / 3.0, n_iter=1,
+                         alpha=6.0, beta=1.0, method="direct_separable")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=0)

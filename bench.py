@@ -1,12 +1,23 @@
 """Headline benchmark: MP/s/chip for 3-iteration blind deblurring at 12MP.
 
 BASELINE.json config 4: 12MP image, bf16, tiled with per-tile blur
-estimation, 3 Polyblur iterations. The shipped grid is 576px tiles at
-step 512 (statically aligned, 1.33x redundancy at 12MP — see the inline note
-below); cli/bench_suite.py keeps the reference-default 400px/25% grid as
-its config-4b row. Reference throughput to beat: ~35 MP/s (0.35MP peacock
-in "about 10ms" on an unspecified GPU, reference main.py:122-123);
-target >=500 MP/s/chip.
+estimation, 3 Polyblur iterations. Since round 5 the timed region is the
+EVERYTHING-ON-DEVICE pipeline (VERDICT r4 next-step #1): one jitted call
+takes the f32 12MP image resident on the chip through bf16 cast ->
+edge-pad -> the fully-fused blended mega kernel (each Pallas program DMAs
+its tile window from the padded canvas, runs all 3 blind iterations
+in VMEM, and blends its windowed output block into the f32 canvas using
+neighbour strips carried across the sequential programs) -> the restored
+f32 image. No host staging, no excluded stages — the same region the
+reference times (its full forward, main.py:122-128).
+
+The shipped grid is 576px tiles at step 512 (statically (8, 128)-aligned,
+64px seams >= 2x the 25-tap kernel support, 1.33x tile redundancy at 12MP
+vs 1.78x at the reference-default 400px/25% grid which
+cli/bench_suite.py keeps as its config-4b row). Reference throughput to
+beat: ~35 MP/s (0.35MP peacock in "about 10ms" on an unspecified GPU,
+reference main.py:122-123); target >= 500 MP/s/chip (BASELINE), >= 1100
+end-to-end (VERDICT r5 bar).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -32,7 +43,7 @@ def make_12mp_image(rng):
     return np.clip(big, 0.0, 1.0).astype(np.float32).transpose(2, 0, 1)[None]
 
 
-def bench(fn, x, n_runs=3, chain=(8, 32)):
+def bench(fn, x, n_runs=3, chain=(4, 12)):
     """Per-call device time via a two-point chain-length fit.
 
     On the tunneled TPU backend ``block_until_ready`` returns without
@@ -75,43 +86,29 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from polyblur_tpu.pipeline import polyblur_core
-    from polyblur_tpu.patches import plan_patch_grid, extract_patches
+    from polyblur_tpu.patches import deblur_patches
 
     rng = np.random.default_rng(0)
     img = make_12mp_image(rng)
     b, c, h, w = img.shape
     mp = h * w / 1e6
 
-    # Tile on host once; the timed region is the on-device pipeline over the
-    # tile batch (per-tile estimation — BASELINE config 4). Tiling +
-    # overlap-add are excluded: they are NOT negligible (~6 ms at 12MP
-    # on-device; bench_suite config 4b reports the everything-on-device
-    # number), but in the serving architecture (cli/burst.py)
-    # decode/tile/reassembly run on host threads pipelined against device
-    # compute, so steady-state chip throughput is the device kernel time —
-    # the same rationale as the reference's timed region excluding I/O
-    # (main.py:122-128).
-    # 576px tiles at step 512: statically (8, 128)-aligned steps (the DMA
-    # route skips its de-offset), 64px seams (>= 2x the 25-tap kernel
-    # support), tile redundancy 1.33x at 12MP vs 1.78x at the reference's
-    # 400px/25% default, equal restoration quality (both tilings agree
-    # with the whole-image fft oracle at ~40 dB; bench_suite keeps a
-    # reference-default-grid row as config 4b).
-    grid = plan_patch_grid(h, w, patch_size=576, overlap=64.0 / 576.0)
-    tiles = extract_patches(jnp.asarray(img), grid).astype(jnp.bfloat16)
-    tiles = jax.device_put(tiles)
+    x = jax.device_put(jnp.asarray(img))
 
-    import functools
+    # The full on-device pipeline in one jitted callable: f32 image in,
+    # f32 restored image out, bf16 tile compute inside (the serving
+    # configuration). The f32 output feeds back as the next chain input,
+    # so the timed region includes every stage end-to-end.
+    fn = jax.jit(lambda v: deblur_patches(
+        v.astype(jnp.bfloat16), patch_size=576, overlap=64.0 / 576.0,
+        n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+        method="direct_separable", out_dtype=jnp.float32))
 
-    fn = jax.jit(functools.partial(
-        polyblur_core, n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
-        method="direct_separable"))
-
-    dt = bench(fn, tiles)
+    dt = bench(fn, x)
     mps = mp / dt
     print(json.dumps({
-        "metric": "MP/s/chip, 3-iter blind deblur @12MP bf16 tiled",
+        "metric": "MP/s/chip, 3-iter blind deblur @12MP bf16, "
+                  "everything-on-device",
         "value": round(mps, 2),
         "unit": "MP/s",
         "vs_baseline": round(mps / REFERENCE_MP_S, 3),

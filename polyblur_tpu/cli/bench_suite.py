@@ -259,6 +259,33 @@ def main(argv=None):
     rows.append((f"5. optax Adam step, 3-iter remat sep layer ({mp:.0f}MP)",
                  f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
 
+    # --- config 5b: optax training step at 12MP, TILED + remat ----------
+    # BASELINE config 5 at the headline size (VERDICT r4 next-step #2):
+    # bf16 forward through the 576/512-tiled patch engine, remat'd scan
+    # body, f32 scalar gradients through the windowed overlap-add.
+    if not args.quick:
+        x5b = jnp.asarray(big).astype(jnp.bfloat16)
+        tgt5b = jnp.asarray(big)
+        layer5b = PolyblurLayer(n_iter=3, learnable=True, remat=True,
+                                method="direct_separable", patch_size=576,
+                                patch_overlap=64.0 / 576.0)
+        params5b = layer5b.init(jax.random.PRNGKey(0), x5b)
+        opt5b = optax.adam(1e-2)
+        state5b = opt5b.init(params5b)
+        step5b = make_train_step(
+            layer5b, opt5b,
+            loss_fn=lambda out, y: jnp.mean(
+                (out.astype(jnp.float32) - y.astype(jnp.float32)) ** 2))
+
+        def train_12mp(x):
+            p, s, loss = step5b(params5b, state5b, x, tgt5b)
+            return x + (0.0 * loss).astype(x.dtype)
+
+        dt = _time(train_12mp, x5b, chain=2)
+        mp12 = h4 * w4 / 1e6
+        rows.append((f"5b. optax Adam step, 3-iter remat TILED ({mp12:.0f}MP"
+                     f" bf16)", f"{dt * 1e3:.1f} ms", f"{mp12 / dt:.0f} MP/s"))
+
     print(f"\n{'config':52s} {'latency':>10s} {'throughput':>12s}")
     for name, lat, thr in rows:
         print(f"{name:52s} {lat:>10s} {thr:>12s}")

@@ -64,6 +64,13 @@ if _HAS_FLAX:
         learnable: bool = False
         method: str = "fft"
         remat: bool = False
+        #: > 0 routes the forward through the overlapping-patch engine
+        #: (deblur_patches) — the megapixel training configuration: tiles
+        #: become the batch axis, remat bounds the backward pass per
+        #: iteration, and gradients flow through the windowed overlap-add
+        #: to the pipeline scalars (BASELINE config 5 at 12MP).
+        patch_size: int = 0
+        patch_overlap: float = 0.25
         extra: Any = None  # optional dict of further polyblur_core kwargs
 
         @nn.compact
@@ -76,6 +83,14 @@ if _HAS_FLAX:
             else:
                 c, b, alpha, beta = self.c, self.b, self.alpha, self.beta
             kw = dict(self.extra or {})
+            if self.patch_size > 0:
+                from .patches import deblur_patches
+
+                return deblur_patches(
+                    img, patch_size=self.patch_size,
+                    overlap=self.patch_overlap, n_iter=self.n_iter, c=c,
+                    b=b, alpha=alpha, beta=beta, method=self.method,
+                    remat=self.remat, **kw)
             return polyblur_core(img, n_iter=self.n_iter, c=c, b=b,
                                  alpha=alpha, beta=beta, method=self.method,
                                  remat=self.remat, **kw)

@@ -64,6 +64,12 @@ _HALF = 12
 _NA = 6          # n_angles
 _NI = 30         # n_interpolated_angles
 
+#: Trace-time A/B knob (tools/f32_dot_ab.py): run the mega kernel's
+#: ESTIMATION derivative matmuls (f32 tiles, 'compensated' mode) as
+#: error-compensated bf16x3 instead of Mosaic's truncating DEFAULT.
+#: Shipped True — measured A/B in docs/ROUND5_NOTES.md.
+_EST_DOT_COMPENSATED = True
+
 
 @functools.lru_cache(maxsize=4)
 def _interp_weights_np():
@@ -100,21 +106,39 @@ from .bilateral import _replicate_pad2d, bilateral_block as _bilateral5
 
 def _make_kernel(n_iter: int, csz: int, do_taper: bool = False,
                  do_halo: bool = False, prefilter=None, dma_grid=None,
-                 ablate=(), out_pad: int = 0):
+                 ablate=(), out_pad: int = 0, blend=None):
     """``dma_grid=(B, Tw, step_h, step_w)`` switches the kernel to image
     input: the tile is DMA'd from the padded canvas in HBM at the grid
     offsets of this program instead of arriving as a pre-extracted block
-    (the extract_patches tensor never exists)."""
+    (the extract_patches tensor never exists).
+
+    ``blend=(th, tw, sh, sw)`` (requires ``dma_grid`` with B == 1) fuses
+    the windowed overlap-add INTO this kernel: instead of a tile batch,
+    the output is the blended (th*sh, tw*sw) canvas written one (sh, sw)
+    block per program. The grid runs tiles row-major and SEQUENTIALLY, so
+    program (i, j) blends its output block from its own tile's leading
+    corner plus the overlap strips of the already-computed left/top/
+    top-left neighbours, carried across programs in persistent VMEM
+    scratch (a column strip, a ring of row strips — one slot per tile
+    column — and a corner carry). The separate overlap-add pass and the
+    restored-tile tensor's HBM round trip disappear entirely.
+    """
     angles = [k * math.pi / _NA for k in range(_NA + 1)]
 
     def kernel(co_ref, x_in_ref, dw_ref, dh_ref, wr_ref, f_ref, g_ref,
                cy_ref, sy_ref, er_ref, ei_ref, cyt_ref, syt_ref,
-               out_ref, ts_ref, *dma_scratch):
+               *rest):
+        if blend is not None:
+            win_ref, inv_ref, out_ref, ts_ref, *dma_scratch = rest
+        else:
+            out_ref, ts_ref, *dma_scratch = rest
         if dma_grid is not None:
             bsz, t_w, step_h, step_w, n_prog = dma_grid
-            xt_ref, sem = dma_scratch   # (2, c, hs, ws) double buffer
-            _, c, ht, wt = out_ref.shape
-            wt -= out_pad  # logical tile width (output may be lane-padded)
+            if blend is not None:
+                xt_ref, sem, acc_ref, rs_ref, cs_ref, cn_ref = dma_scratch
+            else:
+                xt_ref, sem = dma_scratch   # (2, c, hs, ws) double buffer
+            c, ht, wt = ts_ref.shape
             # Mosaic DMA slices must be layout-aligned, but the tile grid
             # need not be: DMA the (8, 128)-ALIGNED ENCLOSING window of the
             # tile (one extra layout tile per axis; the canvas is padded to
@@ -215,6 +239,44 @@ def _make_kernel(n_iter: int, csz: int, do_taper: bool = False,
         dw = dw_ref[...]   # (Wt, Wt) f32
         dh = dh_ref[...]   # (Ht, Ht) f32
 
+        # Estimation derivative matmuls: Mosaic's DEFAULT dot truncates
+        # f32 operands to bf16 (a few 1e-2 relative on raw directional
+        # maxima — the dominant term in the f32 mega-vs-fft agreement
+        # gap, VERDICT r4 weak #3). For f32 tiles in 'compensated' mode,
+        # run them as the same error-compensated bf16x3 split as the DFT
+        # dots, with the constant derivative operators pre-split once per
+        # program. bf16 tiles keep the native single-pass MXU (their
+        # input quantization dominates). Measured A/B in
+        # docs/ROUND5_NOTES.md.
+        comp_est = (_EST_DOT_COMPENSATED and ts_ref.dtype == jnp.float32
+                    and f32_dot_mode() == "compensated")
+        if comp_est:
+            dw_p = _split_bf16(dw)
+            dh_p = _split_bf16(dh)
+
+        def _est_dots(z):
+            """(z @ dw^T, dh @ z) at the estimation precision policy."""
+            if not comp_est:
+                gx = jax.lax.dot_general(
+                    z, dw, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                gy = jax.lax.dot(dh, z, preferred_element_type=jnp.float32)
+                return gx, gy
+            zh, zl = _split_bf16(z)
+
+            def dg(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            def d(a, b):
+                return jax.lax.dot(a, b,
+                                   preferred_element_type=jnp.float32)
+
+            gx = dg(zh, dw_p[0]) + (dg(zh, dw_p[1]) + dg(zl, dw_p[0]))
+            gy = d(dh_p[0], zh) + (d(dh_p[1], zh) + d(dh_p[0], zl))
+            return gx, gy
+
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         big = jnp.float32(1e30)
 
@@ -225,10 +287,7 @@ def _make_kernel(n_iter: int, csz: int, do_taper: bool = False,
 
         def _input_grads(ch):
             x0 = tile_plane(ch).astype(jnp.float32)
-            gx0 = jax.lax.dot_general(
-                x0, dw, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            gy0 = jax.lax.dot(dh, x0, preferred_element_type=jnp.float32)
+            gx0, gy0 = _est_dots(x0)
             return gx0, gy0, jnp.sum(gx0 * gx0 + gy0 * gy0)
 
         # Input-tile gradients for halo masking are loop-invariant
@@ -273,9 +332,7 @@ def _make_kernel(n_iter: int, csz: int, do_taper: bool = False,
                 vmax = jnp.max(gray)
                 g = jnp.clip((gray - vmin) / jnp.maximum(vmax - vmin, 1e-8),
                              0.0, 1.0)
-                gx = jax.lax.dot_general(g, dw, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                gy = jax.lax.dot(dh, g, preferred_element_type=jnp.float32)
+                gx, gy = _est_dots(g)
 
                 wr = wr_ref[...]  # (8, 128): row j = interp weights, angle j
                 vals = jnp.zeros((1, 128), jnp.float32)
@@ -448,11 +505,7 @@ def _make_kernel(n_iter: int, csz: int, do_taper: bool = False,
                     # grad_prod_ bug fixed)
                     gx0, gy0, nM = (grads0[ch] if hoist_grads
                                     else _input_grads(ch))
-                    gox = jax.lax.dot_general(
-                        o, dw, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    goy = jax.lax.dot(dh, o,
-                                      preferred_element_type=jnp.float32)
+                    gox, goy = _est_dots(o)
                     M = -(gx0 * gox) - (gy0 * goy)
                     z = jnp.clip(M / (nM + M + 1e-12), 0.0, None)
                     u_cmp = xc[_HALF:h - _HALF, _HALF:_HALF + wt]
@@ -467,7 +520,47 @@ def _make_kernel(n_iter: int, csz: int, do_taper: bool = False,
         if dma_grid is None:
             ts_ref[...] = x_ref[0]
         jax.lax.fori_loop(0, n_iter, iteration, 0)
-        if out_pad:
+        if blend is not None:
+            # ---- fused windowed overlap-add (deblurring.py:333-338) ----
+            # Output block (i, j) = canvas[i*sh:(i+1)*sh, j*sw:(j+1)*sw],
+            # blended from <= 4 windowed tiles; the three neighbour
+            # contributions come from the persistent carries written by
+            # the (sequential, row-major) earlier programs.
+            th_b, tw_b, sh_b, sw_b = blend
+            oh_b, ow_b = ht - sh_b, wt - sw_b
+            t_ = pl.program_id(0)
+            i_b = t_ // tw_b
+            j_b = jax.lax.rem(t_, tw_b)
+            win = win_ref[...]  # (ph, pw) f32
+            tsf = ts_ref[...].astype(jnp.float32)  # (c, ph, pw)
+            acc_ref[...] = tsf[:, :sh_b, :sw_b] * win[:sh_b, :sw_b]
+            if ow_b > 0:
+                @pl.when(j_b > 0)
+                def _():  # left neighbour's trailing columns
+                    acc_ref[:, :, :ow_b] += cs_ref[...] * win[:sh_b, sw_b:]
+            if oh_b > 0:
+                @pl.when(i_b > 0)
+                def _():  # top neighbour's trailing rows
+                    acc_ref[:, :oh_b, :] += (rs_ref[j_b, :, :, :sw_b]
+                                             * win[sh_b:, :sw_b])
+                if ow_b > 0:
+                    @pl.when(jnp.logical_and(i_b > 0, j_b > 0))
+                    def _():  # top-left neighbour's trailing corner
+                        acc_ref[:, :oh_b, :ow_b] += (cn_ref[...]
+                                                     * win[sh_b:, sw_b:])
+            out = acc_ref[...] * inv_ref[...][None]
+            out_ref[0] = jnp.clip(out, 0.0, 1.0).astype(out_ref.dtype)
+            # carries for the next programs — ORDER MATTERS: the corner
+            # carry (tile (i, j)'s top-left for program (i, j+1)) is the
+            # trailing-column part of row-strip slot j (tile (i-1, j)),
+            # read BEFORE this tile's own strip overwrites the slot.
+            if oh_b > 0 and ow_b > 0:
+                cn_ref[...] = rs_ref[j_b, :, :, sw_b:]
+            if oh_b > 0:
+                rs_ref[j_b] = tsf[:, sh_b:, :]
+            if ow_b > 0:
+                cs_ref[...] = tsf[:, :sh_b, sw_b:]
+        elif out_pad:
             # lane-padded output (for the fused overlap-add consumer):
             # write the tile into the leading columns, zero the pad
             _, c_, ht_, wt_ = out_ref.shape
@@ -478,6 +571,18 @@ def _make_kernel(n_iter: int, csz: int, do_taper: bool = False,
             out_ref[0] = ts_ref[...]
 
     return kernel
+
+
+def dma_canvas_size(grid_info):
+    """(Hc, Wc) the image-input kernels need the padded canvas to be so
+    the LAST tile's (8, 128)-aligned enclosing DMA window stays in
+    bounds. Callers that pad to exactly this size in their own edge-pad
+    skip the second full-canvas copy the kernels would otherwise add."""
+    t_h, t_w, step_h, step_w, ph, pw = grid_info
+    stat_aligned = (step_h % 8 == 0) and (step_w % 128 == 0)
+    hs = -(-ph // 8) * 8 + (0 if stat_aligned else 8)
+    ws = -(-pw // 128) * 128 + (0 if stat_aligned else 128)
+    return (t_h - 1) * step_h + hs, (t_w - 1) * step_w + ws
 
 
 def _spectral_operands(ht, wt, dtype):
@@ -537,7 +642,7 @@ def _fused_call(x, coeffs, n_iter, do_taper=False, do_halo=False,
 
 def _image_call(padded, coeffs, n_iter, grid_info, do_taper=False,
                 do_halo=False, prefilter=None, interpret=False,
-                pad_lanes=False):
+                pad_lanes=False, ablate=()):
     """Mega-kernel over tiles cut in-kernel from the padded canvas.
 
     :param padded: (B, C, Hp, Wp) canvas (already replicate-padded to the
@@ -594,7 +699,7 @@ def _image_call(padded, coeffs, n_iter, grid_info, do_taper=False,
         _make_kernel(n_iter, c, do_taper=do_taper, do_halo=do_halo,
                      prefilter=prefilter,
                      dma_grid=(b, t_w, step_h, step_w, n),
-                     out_pad=pw_out - pw),
+                     out_pad=pw_out - pw, ablate=ablate),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, c, ph, pw_out), padded.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -602,6 +707,142 @@ def _image_call(padded, coeffs, n_iter, grid_info, do_taper=False,
         interpret=interpret,
     )(coeffs.astype(jnp.float32), padded, dw, dh, jnp.asarray(w_rows),
       *tables)
+
+
+def _image_call_blended(padded, coeffs, n_iter, grid_info, window, inv_wsum,
+                        do_taper=False, do_halo=False, prefilter=None,
+                        interpret=False, out_dtype=None):
+    """Mega kernel with the windowed overlap-add FUSED IN: tiles are cut
+    in-kernel from the padded canvas AND blended in-kernel into the output
+    canvas — one Pallas call from padded canvas to restored canvas.
+
+    :param padded: (1, C, Hp, Wp) canvas (batch must be 1: the neighbour
+        strips carried across sequential programs assume tile-major order)
+    :param grid_info: static (th, tw, sh, sw, ph, pw); requires the fused
+        overlap-add geometry (sh % 8 == 0, sw % 128 == 0, ph % 8 == 0) and
+        statically aligned steps
+    :param window: (ph, pw) f32 blending window
+    :param inv_wsum: (th*sh, tw*sw) f32 reciprocal window-sum canvas
+    :returns: (1, C, th*sh, tw*sw) blended, clipped canvas — the caller
+        crops to the original content (the gate guarantees pb >= ph-sh and
+        pr >= pw-sw so the content lies inside th*sh x tw*sw)
+    """
+    b, c, _, _ = padded.shape
+    t_h, t_w, step_h, step_w, ph, pw = grid_info
+    assert b == 1, "fused-blend route requires batch 1"
+    n = t_h * t_w
+    oh, ow = ph - step_h, pw - step_w
+    stat_aligned = (step_h % 8 == 0) and (step_w % 128 == 0)
+    assert stat_aligned and ph % 8 == 0 and step_w % 128 == 0
+    hs = -(-ph // 8) * 8
+    ws = -(-pw // 128) * 128
+    need_h = (t_h - 1) * step_h + hs
+    need_w = (t_w - 1) * step_w + ws
+    extra_h = max(0, need_h - padded.shape[2])
+    extra_w = max(0, need_w - padded.shape[3])
+    if extra_h or extra_w:
+        padded = jnp.pad(padded,
+                         ((0, 0), (0, 0), (0, extra_h), (0, extra_w)))
+    dw = jnp.asarray(_derivative_matrix_np(pw))
+    dh = jnp.asarray(_derivative_matrix_np(ph))
+    w_rows = np.zeros((8, 128), np.float32)
+    w_rows[:_NA + 1, :_NI] = _interp_weights_np().T
+    tables, table_specs = _spectral_operands(ph, pw, padded.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((pw, pw), lambda i, *_: (0, 0)),
+            pl.BlockSpec((ph, ph), lambda i, *_: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0)),
+        ] + table_specs + [
+            pl.BlockSpec((ph, pw), lambda i, *_: (0, 0)),
+            pl.BlockSpec((step_h, step_w),
+                         lambda i, *_: (i // t_w, jax.lax.rem(i, t_w))),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, step_h, step_w),
+            lambda i, *_: (0, 0, i // t_w, jax.lax.rem(i, t_w))),
+        scratch_shapes=[pltpu.VMEM((c, ph, pw), padded.dtype),
+                        pltpu.VMEM((2, c, hs, ws), padded.dtype),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.VMEM((c, step_h, step_w), jnp.float32),
+                        pltpu.VMEM((t_w, c, max(oh, 1), pw), jnp.float32),
+                        pltpu.VMEM((c, step_h, max(ow, 1)), jnp.float32),
+                        pltpu.VMEM((c, max(oh, 1), max(ow, 1)),
+                                   jnp.float32)],
+    )
+    return pl.pallas_call(
+        _make_kernel(n_iter, c, do_taper=do_taper, do_halo=do_halo,
+                     prefilter=prefilter,
+                     dma_grid=(1, t_w, step_h, step_w, n),
+                     blend=(t_h, t_w, step_h, step_w)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (1, c, t_h * step_h, t_w * step_w),
+            out_dtype or padded.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(coeffs.astype(jnp.float32), padded, dw, dh, jnp.asarray(w_rows),
+      *tables, window.astype(jnp.float32), inv_wsum.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(2, 3, 6, 7, 8, 9, 10))
+def polyblur_image_blended(padded, coeffs, n_iter, grid_info, window,
+                           inv_wsum, do_taper=False, do_halo=False,
+                           prefilter=None, interpret=False, out_dtype=None):
+    """Blended-canvas mega kernel (see :func:`_image_call_blended`);
+    differentiable via the composed extract + XLA pipeline + XLA
+    windowed-blend composition."""
+    return _image_call_blended(padded, coeffs, n_iter, grid_info, window,
+                               inv_wsum, do_taper=do_taper, do_halo=do_halo,
+                               prefilter=prefilter, interpret=interpret,
+                               out_dtype=out_dtype)
+
+
+def _ref_blended(padded, coeffs, window, inv_wsum, n_iter, grid_info,
+                 do_taper, do_halo, prefilter):
+    t_h, t_w, step_h, step_w, ph, pw = grid_info
+    tiles = _ref_image_pipeline(padded, coeffs, n_iter, grid_info, do_taper,
+                                do_halo, prefilter)  # (T, C, ph, pw)
+    c = tiles.shape[1]
+    canvas = jnp.zeros((1, c, (t_h - 1) * step_h + ph,
+                        (t_w - 1) * step_w + pw), jnp.float32)
+    w = window.astype(jnp.float32)
+    for t in range(t_h * t_w):
+        i0 = (t // t_w) * step_h
+        j0 = (t % t_w) * step_w
+        canvas = canvas.at[0, :, i0:i0 + ph, j0:j0 + pw].add(
+            tiles[t].astype(jnp.float32) * w)
+    canvas = canvas[:, :, :t_h * step_h, :t_w * step_w]
+    return jnp.clip(canvas * inv_wsum.astype(jnp.float32)[None, None],
+                    0.0, 1.0)
+
+
+def _blended_fwd(padded, coeffs, n_iter, grid_info, window, inv_wsum,
+                 do_taper, do_halo, prefilter, interpret, out_dtype):
+    out = _image_call_blended(padded, coeffs, n_iter, grid_info, window,
+                              inv_wsum, do_taper=do_taper, do_halo=do_halo,
+                              prefilter=prefilter, interpret=interpret,
+                              out_dtype=out_dtype)
+    return out, (padded, coeffs, window, inv_wsum)
+
+
+def _blended_bwd(n_iter, grid_info, do_taper, do_halo, prefilter, interpret,
+                 out_dtype, res, g):
+    padded, coeffs, window, inv_wsum = res
+    _, vjp = jax.vjp(
+        lambda x_, c_: _ref_blended(x_, c_, window, inv_wsum, n_iter,
+                                    grid_info, do_taper, do_halo, prefilter),
+        padded, coeffs)
+    gx, gc = vjp(g.astype(jnp.float32))
+    return gx, gc, jnp.zeros_like(window), jnp.zeros_like(inv_wsum)
+
+
+polyblur_image_blended.defvjp(_blended_fwd, _blended_bwd)
 
 
 @functools.partial(jax.custom_vjp,

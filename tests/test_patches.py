@@ -320,3 +320,99 @@ def test_overlap_add_drops_producer_lane_padding():
     a = overlap_add(tiles, g, 1)
     b = overlap_add(padded, g, 1)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_blended_mega_route_interpret_parity():
+    """The fully-fused blended mega route (tile cut + N iterations +
+    windowed overlap-add in ONE Pallas program per tile, neighbour strips
+    carried in persistent VMEM across sequential programs) must match the
+    composed extract -> pipeline -> XLA overlap-add path, across feature
+    sets and dtypes."""
+    from polyblur_tpu.patches import deblur_patches
+    from polyblur_tpu.utils.profiling import dispatch_log, reset_dispatch_log
+
+    rng = np.random.default_rng(30)
+    img = jnp.asarray(rng.uniform(size=(1, 3, 200, 300)).astype(np.float32))
+    base = dict(n_iter=2, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+                method="direct_separable")
+    grids = dict(patch_size=160, overlap=32.0 / 160.0)
+    for extra in (dict(),
+                  dict(remove_halo=True, edgetaping=True,
+                       prefiltering=True, smoother="bilateral")):
+        kw = dict(base, **extra)
+        reset_dispatch_log()
+        out_b = deblur_patches(img, _mega_interpret=True,
+                               out_dtype=jnp.float32, **grids, **kw)
+        assert ("deblur_patches", "mega_image_blended") in dispatch_log()
+        out_ref = deblur_patches(img, out_dtype=jnp.float32, **grids, **kw)
+        assert out_b.shape == out_ref.shape == img.shape
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_ref),
+                                   atol=3e-4, rtol=0)
+    # bf16 tiles, f32 canvas (the serving configuration)
+    out_b16 = deblur_patches(img.astype(jnp.bfloat16), _mega_interpret=True,
+                             out_dtype=jnp.float32, **grids, **base)
+    assert out_b16.dtype == jnp.float32
+    ref_b16 = deblur_patches(img.astype(jnp.bfloat16),
+                             out_dtype=jnp.float32, **grids, **base)
+    from conftest import psnr
+
+    assert psnr(np.asarray(out_b16), np.asarray(ref_b16)) > 40.0
+
+
+def test_blended_mega_route_gates_fall_back():
+    """Configurations the blended route cannot serve (batch > 1, pad
+    smaller than the overlap, unaligned steps) must silently fall back to
+    the other routes with identical results."""
+    from polyblur_tpu.patches import deblur_patches
+    from polyblur_tpu.utils.profiling import dispatch_log, reset_dispatch_log
+
+    rng = np.random.default_rng(31)
+    kw = dict(n_iter=1, alpha=6.0, beta=1.0, method="direct_separable")
+    # batch 2: not eligible
+    img2 = jnp.asarray(rng.uniform(size=(2, 1, 200, 300)).astype(np.float32))
+    reset_dispatch_log()
+    out = deblur_patches(img2, patch_size=160, overlap=32.0 / 160.0,
+                         _mega_interpret=True, **kw)
+    assert ("deblur_patches", "mega_image_blended") not in dispatch_log()
+    assert out.shape == img2.shape
+    # unaligned step (reference-default 400/25% -> step 300): DMA route
+    img = jnp.asarray(rng.uniform(size=(1, 1, 500, 520)).astype(np.float32))
+    reset_dispatch_log()
+    out = deblur_patches(img, patch_size=400, overlap=0.25,
+                         _mega_interpret=True, **kw)
+    log = dispatch_log()
+    assert ("deblur_patches", "mega_image_blended") not in log
+    assert ("deblur_patches", "mega_image_dma") in log, log
+    assert out.shape == img.shape
+    # exact grid fit (zero pad < overlap): falls back, result matches
+    img3 = jnp.asarray(rng.uniform(size=(1, 1, 160, 288)).astype(np.float32))
+    reset_dispatch_log()
+    out3 = deblur_patches(img3, patch_size=160, overlap=32.0 / 160.0,
+                          _mega_interpret=True, **kw)
+    assert ("deblur_patches", "mega_image_blended") not in dispatch_log()
+    ref3 = deblur_patches(img3, patch_size=160, overlap=32.0 / 160.0, **kw)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3),
+                               atol=3e-4, rtol=0)
+
+
+def test_blended_mega_route_gradient():
+    """jax.grad through the blended route replays the composed XLA
+    pipeline + windowed blend (custom VJP)."""
+    import jax
+
+    from polyblur_tpu.patches import deblur_patches
+
+    rng = np.random.default_rng(32)
+    img = jnp.asarray(rng.uniform(size=(1, 1, 160, 280)).astype(np.float32))
+    kw = dict(n_iter=1, alpha=6.0, beta=1.0, method="direct_separable")
+
+    def loss(v, interp):
+        out = deblur_patches(v, patch_size=160, overlap=32.0 / 160.0,
+                             _mega_interpret=interp, **kw)
+        return jnp.mean(out ** 2)
+
+    g_b = jax.grad(lambda v: loss(v, True))(img)
+    g_ref = jax.grad(lambda v: loss(v, False))(img)
+    assert np.isfinite(np.asarray(g_b)).all()
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_ref),
+                               atol=5e-4, rtol=0)

@@ -11,13 +11,17 @@ neighbour strips carried across the sequential programs) -> the restored
 f32 image. No host staging, no excluded stages — the same region the
 reference times (its full forward, main.py:122-128).
 
-The shipped grid is 576px tiles at step 512 (statically (8, 128)-aligned,
-64px seams >= 2x the 25-tap kernel support, 1.33x tile redundancy at 12MP
-vs 1.78x at the reference-default 400px/25% grid which
-cli/bench_suite.py keeps as its config-4b row). Reference throughput to
-beat: ~35 MP/s (0.35MP peacock in "about 10ms" on an unspecified GPU,
-reference main.py:122-123); target >= 500 MP/s/chip (BASELINE), >= 1100
-end-to-end (VERDICT r5 bar).
+The shipped grid is 448px tiles at step 384 (statically (8, 128)-aligned,
+64px seams >= 2x the 25-tap kernel support). It carries MORE tile
+redundancy than the 576/512 grid of rounds 3-4 (1.47x vs 1.33x at 12MP)
+but FEWER MXU MACs per output pixel (4641 vs 6328 per channel-iteration:
+the spectral kernel's y-DFT matmuls scale with tile-height SQUARED while
+its x-rDFT is linear in width) — measured 12MP sweep in tools/grid_ab.py,
+docs/ROUND5_NOTES.md. The f32->bf16 ingest cast rides the canvas
+edge-pad's single HBM pass (work_dtype, ops/pallas/pad_cast.py).
+Reference throughput to beat: ~35 MP/s (0.35MP peacock in "about 10ms"
+on an unspecified GPU, reference main.py:122-123); target >= 500
+MP/s/chip (BASELINE), >= 1100 end-to-end (VERDICT r5 bar).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -100,9 +104,10 @@ def main():
     # configuration). The f32 output feeds back as the next chain input,
     # so the timed region includes every stage end-to-end.
     fn = jax.jit(lambda v: deblur_patches(
-        v.astype(jnp.bfloat16), patch_size=576, overlap=64.0 / 576.0,
-        n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
-        method="direct_separable", out_dtype=jnp.float32))
+        v, patch_size=448, overlap=64.0 / 448.0,
+        work_dtype=jnp.bfloat16, n_iter=3, c=0.362, b=0.468,
+        alpha=6.0, beta=1.0, method="direct_separable",
+        out_dtype=jnp.float32))
 
     dt = bench(fn, x)
     mps = mp / dt

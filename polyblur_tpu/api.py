@@ -29,15 +29,18 @@ __all__ = ["polyblur_deblurring", "PolyblurDeblurring"]
 #: Candidate (patch, step) grids for ``method='auto'`` tiling, all with
 #: statically (8, 128)-aligned steps (no-de-offset DMA + fused overlap-add)
 #: and 64px seams >= 2x the 25-tap kernel support. 576/512 has the lowest
-#: redundancy (1.27x) on large images; the smaller grids avoid the padding
-#: cliff for images just past the whole-image envelope (a fixed 576 grid
-#: inflates a 704px image to a 1088px canvas — 2.7x the pixels).
+#: tile redundancy on large images but the highest MXU MACs per output
+#: pixel (the spectral kernel's y-DFT pair is quadratic in tile height);
+#: the smaller grids also avoid the padding cliff for images just past
+#: the whole-image envelope (a fixed 576 grid inflates a 704px image to
+#: a 1088px canvas — 2.7x the pixels).
 _TILE_CANDIDATES = ((576, 512), (448, 384), (320, 256))
 
 # Cost-model constants (hardware-measured; single source of truth in
 # envelopes.py, re-validated by tests/test_hardware.py's cost-model and
 # boundary-sweep tests).
-from .envelopes import (BLOCKED_COST_FACTOR as _BLOCKED_COST_FACTOR,
+from .envelopes import (BLOCKED_COST_MACS_PX as _BLOCKED_COST_MACS_PX,
+                        TILE_FIXED_MACS as _TILE_FIXED_MACS,
                         AUTO_TILE_MIN_AREA as _AUTO_TILE_MIN_AREA)
 
 
@@ -50,14 +53,30 @@ def _auto_tile_wanted(h: int, w: int, cap: int) -> bool:
     return max(h, w) > cap and h * w >= _AUTO_TILE_MIN_AREA
 
 
+def _tile_macs(ph: int, pw: int) -> float:
+    """Modeled MXU MACs of ONE spectral-mega-kernel tile (per channel per
+    iteration): with the 24px kernel-support apron (hh = ph+24,
+    wc = pw+24), the x-rDFT/irDFT pair is linear in width (2*hh*wc
+    accumulation rows) while the y-DFT/iDFT pair is QUADRATIC in height
+    (4*hh^2), both times the lane-padded half-spectrum depth. This is
+    tools/grid_ab.py's model; the round-5 12MP sweep it predicted is in
+    docs/ROUND5_NOTES.md."""
+    hh, wc = ph + 24, pw + 24
+    kp = -(-(wc // 2 + 1) // 128) * 128
+    return float((2 * hh * wc + 4 * hh * hh) * 2 * kp)
+
+
 def _auto_tile_plan(h: int, w: int, cap: int):
     """(patch_size, overlap) of the cheapest candidate tiling, or None when
     the whole-image blocked route costs less.
 
-    Cost = number of tiles x tile area (every tile runs the full per-tile
-    pipeline) vs the blocked route's area at its measured kernel-rate
-    handicap. ``cap`` is the mega-kernel tile envelope for the requested
-    feature set (pipeline.mega_tile_cap)."""
+    Cost = number of tiles x (modeled tile MACs + fixed per-tile cost)
+    vs the blocked route at its measured per-pixel MAC handicap. The MAC
+    model (not tile AREA) is what the hardware sweep validates: at 12MP
+    the 448/384 grid carries MORE redundant pixels than 576/512 yet
+    measures ~28% faster, because the y-DFT matmuls scale with tile
+    height squared. ``cap`` is the mega-kernel tile envelope for the
+    requested feature set (pipeline.mega_tile_cap)."""
     best = None
     for p, s in _TILE_CANDIDATES:
         if p > cap:
@@ -65,10 +84,10 @@ def _auto_tile_plan(h: int, w: int, cap: int):
         ch = int(math.ceil(max(h - p, 0) / s)) * s + p
         cw = int(math.ceil(max(w - p, 0) / s)) * s + p
         n_tiles = ((ch - p) // s + 1) * ((cw - p) // s + 1)
-        cost = n_tiles * p * p
+        cost = n_tiles * (_tile_macs(p, p) + _TILE_FIXED_MACS)
         if best is None or cost < best[0]:
             best = (cost, p, s)
-    if best is not None and best[0] < _BLOCKED_COST_FACTOR * h * w:
+    if best is not None and best[0] < _BLOCKED_COST_MACS_PX * h * w:
         return best[1], (best[1] - best[2]) / best[1]
     return None
 

@@ -216,6 +216,18 @@ def main(argv=None):
     rows.append((f"4b2. {mp:.0f}MP everything-on-device, 576/512 grid",
                  f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
 
+    # 4b3: the bench.py headline config — 448/384 grid (fewer y-DFT MACs
+    # per output pixel, tools/grid_ab.py) with the f32->bf16 ingest cast
+    # riding the fused edge-pad kernel (work_dtype).
+    f4b3 = jax.jit(lambda v: deblur_patches(
+        v, patch_size=448, overlap=64.0 / 448.0, work_dtype=jnp.bfloat16,
+        n_iter=3, c=0.362, b=0.468, alpha=6.0, beta=1.0,
+        method="direct_separable", out_dtype=jnp.float32))
+    dt = _time(f4b3, big_dev, chain=4)
+    rows.append((f"4b3. {mp:.0f}MP everything-on-device, 448/384 grid + "
+                 f"fused pad-cast ingest (headline)",
+                 f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
+
     # --- config 4c: 48MP everything on device, 512px tiles ---------------
     if not args.quick:
         h4c, w4c = 6000, 8000

@@ -55,12 +55,21 @@ IIR_MAX_EDGE: int = 32768
 #: measured configuration at every probed shape).
 BLOCK_COST_CONST: float = 200.0
 
-#: Per-pixel cost handicap of the whole-image blocked route relative to
-#: the tiled mega kernel (blocked apron redundancy + per-block
-#: estimation-free spectrum rebuilds), used by ``method='auto'`` tiling
-#: (api._auto_tile_plan). Re-measured each round on hardware
-#: (tests/test_hardware.py cost-model tests).
-BLOCKED_COST_FACTOR: float = 2.2
+#: Modeled MXU MACs per OUTPUT pixel (per channel-iteration) charged to
+#: the whole-image blocked route by ``method='auto'`` (api._auto_tile_plan):
+#: the blocked route's apron redundancy + per-block spectrum rebuilds
+#: make it ~1.7x the 576-tile grid's ~5000 MACs/px-of-tile — the round-3/4
+#: area-units factor 2.2 converted to MAC units (2.2 x 5000). Re-measured
+#: each round on hardware (tests/test_hardware.py cost-model tests).
+BLOCKED_COST_MACS_PX: float = 11000.0
+
+#: Modeled per-tile FIXED cost of the tiled mega route, in equivalent
+#: MACs: blur-estimation reduction, DMA issue, window/spectrum setup —
+#: the part of a tile's cost that does not shrink with tile area. Fitted
+#: from the round-5 12MP grid sweep (tools/grid_ab.py: 448^2/88-tile and
+#: 320x448/132-tile grids measured equal wall-clock despite a 10%
+#: MACs/px gap; docs/ROUND5_NOTES.md).
+TILE_FIXED_MACS: float = 1.4e8
 
 #: ``method='auto'`` keeps whole-image (reference-exact, single global
 #: blur estimate) semantics below this area — the blocked route serves

@@ -39,14 +39,25 @@ class PatchGrid(NamedTuple):
     pad: tuple                # (top, bottom, left, right)
 
 
-def plan_patch_grid(h: int, w: int, patch_size: int = 400,
-                    overlap: float = 0.25) -> PatchGrid:
-    """Compute the tile grid of deblurring.py:281-298 (static shapes only)."""
+def plan_patch_grid(h: int, w: int, patch_size=400,
+                    overlap=0.25) -> PatchGrid:
+    """Compute the tile grid of deblurring.py:281-298 (static shapes only).
+
+    ``patch_size`` / ``overlap`` accept an int/float (square tiles — the
+    reference's surface) or an ``(h, w)`` pair. Rectangular tiles are a
+    TPU extension: the spectral mega kernel's y-DFT matmuls scale with
+    tile HEIGHT squared but its x-rDFT only linearly with width, so
+    short-wide tiles (e.g. 320x448) cut FLOPs/output-px vs squares at
+    equal seam width (measured sweep: tools/grid_ab.py,
+    docs/ROUND5_NOTES.md)."""
     h -= h % 2
     w -= w % 2
-    ph = pw = patch_size
-    step_h = int(ph * (1.0 - overlap))
-    step_w = int(pw * (1.0 - overlap))
+    ph, pw = ((patch_size, patch_size) if isinstance(patch_size, int)
+              else (int(patch_size[0]), int(patch_size[1])))
+    ov_h, ov_w = ((overlap, overlap) if isinstance(overlap, (int, float))
+                  else (overlap[0], overlap[1]))
+    step_h = int(ph * (1.0 - ov_h))
+    step_w = int(pw * (1.0 - ov_w))
     new_h = int(math.ceil(max(h - ph, 0) / step_h) * step_h) + ph
     new_w = int(math.ceil(max(w - pw, 0) / step_w) * step_w) + pw
     pad_top = (new_h - h) // 2
@@ -298,8 +309,37 @@ def overlap_add(patches: jnp.ndarray, grid: PatchGrid, batch: int,
 _BLEND_STRIP_BUDGET = 8 * 1024 * 1024
 
 
+def _edge_pad_to(images, crop_hw, pads, work_dtype=None,
+                 interpret: bool = False):
+    """Even-crop + edge-pad + optional working-dtype cast for the mega
+    routes' canvases, in ONE device pass when possible.
+
+    On TPU (or in interpret mode) the fused Pallas kernel
+    (:mod:`.ops.pallas.pad_cast`) streams the image once — the f32->bf16
+    serving cast rides the pad's HBM pass instead of a separate
+    full-image copy (~0.4 ms at 12MP). Results are bit-identical to the
+    ``jnp.pad(x.astype(dt), mode='edge')`` fallback: replicate-pad
+    commutes with elementwise cast."""
+    h, w = crop_hw
+    x = images[..., :h, :w]
+    odt = jnp.dtype(work_dtype) if work_dtype is not None else x.dtype
+    from .ops.pallas.pad_cast import edge_pad_cast, edge_pad_cast_ok
+    from .utils.profiling import record_dispatch
+
+    if ((jax.default_backend() == "tpu" or interpret)
+            and edge_pad_cast_ok(h, w, pads)):
+        record_dispatch("edge_pad", "pallas_pad_cast")
+        # positional: custom_vjp nondiff args may not be passed by keyword
+        return edge_pad_cast(x, tuple(int(p) for p in pads), odt, interpret)
+    record_dispatch("edge_pad", "xla_pad")
+    return jnp.pad(x.astype(odt),
+                   ((0, 0), (0, 0), (pads[0], pads[1]), (pads[2], pads[3])),
+                   mode="edge")
+
+
 def _try_blended_mega(images, grid: PatchGrid, grid_info, b: int,
-                      window_type: str, out_dtype, polyblur_kwargs):
+                      window_type: str, out_dtype, work_dtype,
+                      polyblur_kwargs):
     """Run the fully-fused blended mega route (tile cut + N iterations +
     windowed overlap-add in ONE Pallas call) if this configuration admits
     it, else return None.
@@ -334,9 +374,11 @@ def _try_blended_mega(images, grid: PatchGrid, grid_info, b: int,
     from .ops.pallas.polyblur_fused import dma_canvas_size
 
     hc, wc = dma_canvas_size(grid_info)
-    padded = jnp.pad(images[..., :h, :w],
-                     ((0, 0), (0, 0), (pt, pb + max(0, hc - H)),
-                      (pl, pr + max(0, wc - W))), mode="edge")
+    padded = _edge_pad_to(
+        images, (h, w),
+        (pt, pb + max(0, hc - H), pl, pr + max(0, wc - W)),
+        work_dtype=work_dtype,
+        interpret=polyblur_kwargs.get("_mega_interpret", False))
     window_np = build_window_np((ph, pw), window_type)
     wsum_np = np.zeros((H, W), np.float64)
     for (i0, j0) in grid.coords:
@@ -362,10 +404,10 @@ def _try_blended_mega(images, grid: PatchGrid, grid_info, b: int,
     return canvas[..., pt:pt + h, pl:pl + w]
 
 
-def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
-                   overlap: float = 0.25, window_type: str = "kaiser",
+def deblur_patches(images: jnp.ndarray, patch_size=400,
+                   overlap=0.25, window_type: str = "kaiser",
                    batch_size: Optional[int] = None, out_dtype=None,
-                   _disable_blended: bool = False,
+                   work_dtype=None, _disable_blended: bool = False,
                    **polyblur_kwargs) -> jnp.ndarray:
     """Whole patch path: tile -> deblur -> overlap-add.
 
@@ -373,6 +415,11 @@ def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
         ``float32`` over bf16 inputs writes the blend's f32 accumulator
         directly instead of a separate upcast pass (see
         :func:`overlap_add`).
+    :param work_dtype: dtype the tile pipeline computes in (default: the
+        input dtype). Passing an f32 image with ``work_dtype=bfloat16``
+        is the serving configuration: the cast rides the canvas edge-pad's
+        single HBM pass (:func:`_edge_pad_to`) instead of a separate
+        full-image copy, and is bit-identical to casting up front.
     :param batch_size: maximum number of tile coordinates deblurred per
         device batch — the memory ceiling of the reference's sequential host
         loop (deblurring.py:310-336), realised here as a ``lax.scan`` over
@@ -398,7 +445,7 @@ def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
         if not _disable_blended:
             blended = _try_blended_mega(images, grid, grid_info, b,
                                         window_type, out_dtype,
-                                        polyblur_kwargs)
+                                        work_dtype, polyblur_kwargs)
             if blended is not None:
                 return blended
         if mega_padded_eligible(grid_info, **polyblur_kwargs):
@@ -417,11 +464,11 @@ def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
 
             hc, wc = dma_canvas_size(grid_info)
             H_, W_ = grid.padded_size
-            padded = jnp.pad(images[..., :hh, :ww],
-                             ((0, 0), (0, 0),
-                              (pt, pb + max(0, hc - H_)),
-                              (pl, pr + max(0, wc - W_))),
-                             mode="edge")
+            padded = _edge_pad_to(
+                images, (hh, ww),
+                (pt, pb + max(0, hc - H_), pl, pr + max(0, wc - W_)),
+                work_dtype=work_dtype,
+                interpret=polyblur_kwargs.get("_mega_interpret", False))
             restored = mega_restore_padded(padded, grid_info,
                                            pad_lanes=pad_lanes,
                                            **polyblur_kwargs)
@@ -429,6 +476,8 @@ def deblur_patches(images: jnp.ndarray, patch_size: int = 400,
                 return overlap_add(restored, grid, b, window_type,
                                    out_dtype=out_dtype)
 
+    if work_dtype is not None:
+        images = images.astype(work_dtype)
     tiles = extract_patches(images, grid)
     if batch_size is None or batch_size <= 0 or batch_size >= n_tiles:
         restored = polyblur_core(tiles, **polyblur_kwargs)

@@ -339,14 +339,14 @@ def test_bf16_golden_strength_on_tpu(peacock_x, ref):
 
 def test_auto_tile_cost_model_on_tpu():
     """VERDICT r3 next #8: the method='auto' cost-model constants
-    (api._BLOCKED_COST_FACTOR, measured on round-3/4 hardware) validated
+    (api._BLOCKED_COST_MACS_PX, measured on round-3/4/5 hardware) validated
     by fresh measurement: at a >= 4MP size the plan chooses tiling, and
     tiling is measured no slower than ~1.2x the whole-image blocked
     route; the measured blocked-vs-tiled per-pixel ratio must stay inside
-    the band the shipped factor (2.2) encodes. Uses the slope timing
+    the band the shipped handicap encodes. Uses the slope timing
     protocol (bench_suite._time) to cancel the relay's constant
     readback."""
-    from polyblur_tpu.api import _auto_tile_plan, _BLOCKED_COST_FACTOR
+    from polyblur_tpu.api import _auto_tile_plan, _BLOCKED_COST_MACS_PX
     from polyblur_tpu.cli.bench_suite import _time
     from polyblur_tpu.patches import deblur_patches
     from polyblur_tpu.pipeline import polyblur_core, mega_tile_cap
@@ -371,7 +371,7 @@ def test_auto_tile_cost_model_on_tpu():
     # the encoded margin (wide band — this guards drift, not noise)
     assert 1.1 < ratio < 5.0, ratio
     print(f"measured blocked/tiled per-pixel ratio {ratio:.2f} "
-          f"(shipped _BLOCKED_COST_FACTOR={_BLOCKED_COST_FACTOR})")
+          f"(shipped _BLOCKED_COST_MACS_PX={_BLOCKED_COST_MACS_PX})")
 
 
 def test_fused_estimation_dispatches_at_640_on_tpu():

@@ -416,3 +416,86 @@ def test_blended_mega_route_gradient():
     assert np.isfinite(np.asarray(g_b)).all()
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_ref),
                                atol=5e-4, rtol=0)
+
+
+def test_edge_pad_cast_interpret_matches_jnp_pad():
+    """The fused edge-pad + cast Pallas kernel (the mega routes' canvas
+    ingest) is bit-identical to jnp.pad(x.astype(dt), mode='edge') across
+    ragged widths, zero pads, multi-stripe heights, and both casts."""
+    from polyblur_tpu.ops.pallas.pad_cast import (edge_pad_cast,
+                                                  edge_pad_cast_ok)
+
+    rng = np.random.default_rng(40)
+    cases = [
+        ((1, 3, 64, 200), (4, 12, 8, 24)),       # ragged W (tail 72)
+        ((2, 1, 16, 256), (0, 8, 0, 0)),         # lane-exact, zero pads
+        ((1, 1, 512, 384), (68, 196, 80, 208)),  # multi-stripe height
+        ((1, 2, 24, 130), (5, 0, 3, 1)),         # tiny ragged
+        ((1, 1, 32, 128), (0, 0, 0, 0)),         # no-op pad
+    ]
+    for shape, pads in cases:
+        x = jnp.asarray(rng.uniform(size=shape).astype(np.float32))
+        assert edge_pad_cast_ok(shape[-2], shape[-1], pads), (shape, pads)
+        for odt in (jnp.float32, jnp.bfloat16):
+            got = edge_pad_cast(x, pads, odt, True)
+            want = jnp.pad(x.astype(odt),
+                           ((0, 0), (0, 0), (pads[0], pads[1]),
+                            (pads[2], pads[3])), mode="edge")
+            assert got.dtype == want.dtype and got.shape == want.shape
+            np.testing.assert_array_equal(
+                np.asarray(got, np.float32), np.asarray(want, np.float32))
+    # geometry gate: odd height / narrow width / short height refused
+    assert not edge_pad_cast_ok(63, 200, (1, 1, 1, 1))
+    assert not edge_pad_cast_ok(64, 100, (1, 1, 1, 1))
+    assert not edge_pad_cast_ok(8, 200, (1, 1, 1, 1))
+
+
+def test_plan_patch_grid_rectangular_tiles():
+    """(h, w) tuple patch_size/overlap: rectangular tiles (TPU extension —
+    the reference's surface is square-only) plan, extract, and blend back
+    to identity."""
+    g = plan_patch_grid(300, 500, patch_size=(320, 448),
+                        overlap=(64.0 / 320.0, 64.0 / 448.0))
+    assert g.patch_size == (320, 448)
+    assert g.padded_size == (320, 832)
+    rows = sorted({i for (i, _) in g.coords})
+    cols = sorted({j for (_, j) in g.coords})
+    assert rows == [0] and cols == [0, 384]
+
+    rng = np.random.default_rng(41)
+    img = jnp.asarray(rng.uniform(size=(1, 3, 300, 500)).astype(np.float32))
+    tiles = extract_patches(img, g)
+    assert tiles.shape == (2, 3, 320, 448)
+    rec = overlap_add(tiles, g, batch=1)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(img),
+                               atol=1e-5, rtol=0)
+
+
+def test_deblur_patches_work_dtype_threading():
+    """work_dtype=bf16 over an f32 image must equal casting the image up
+    front, bit for bit, on every route (the fused pad+cast kernel commutes
+    replicate-pad with the elementwise cast)."""
+    from polyblur_tpu.patches import deblur_patches
+    from polyblur_tpu.utils.profiling import dispatch_log, reset_dispatch_log
+
+    rng = np.random.default_rng(42)
+    img = jnp.asarray(rng.uniform(size=(1, 3, 200, 300)).astype(np.float32))
+    kw = dict(n_iter=1, alpha=6.0, beta=1.0, method="direct_separable",
+              patch_size=160, overlap=32.0 / 160.0, out_dtype=jnp.float32)
+
+    # XLA fallback route (CPU)
+    got = deblur_patches(img, work_dtype=jnp.bfloat16, **kw)
+    want = deblur_patches(img.astype(jnp.bfloat16), **kw)
+    assert got.dtype == want.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # blended mega route (interpret): the Pallas pad+cast kernel ingests
+    reset_dispatch_log()
+    got_b = deblur_patches(img, work_dtype=jnp.bfloat16,
+                           _mega_interpret=True, **kw)
+    log = dispatch_log()
+    assert ("deblur_patches", "mega_image_blended") in log
+    assert ("edge_pad", "pallas_pad_cast") in log
+    want_b = deblur_patches(img.astype(jnp.bfloat16), _mega_interpret=True,
+                            **kw)
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))

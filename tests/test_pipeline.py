@@ -322,11 +322,17 @@ def test_auto_tile_plan_grid_choice():
     padding cliff just past the whole-image envelope."""
     from polyblur_tpu.api import _auto_tile_plan, _auto_tile_wanted
 
-    # 12MP: tiling wanted; the low-redundancy 576/512 grid wins
+    # 12MP: tiling wanted; the MAC model picks 448/384 (more redundant
+    # pixels than 576/512 but ~27% fewer y-DFT MACs — the measured
+    # round-5 sweep winner, tools/grid_ab.py)
     assert _auto_tile_wanted(3000, 4000, cap=640)
     plan = _auto_tile_plan(3000, 4000, cap=640)
+    assert plan is not None and plan[0] == 448
+    assert int(448 * (1 - plan[1])) == 384
+    # near-exact 512-step fit: 576/512's redundancy collapses to ~1.06x
+    # and it wins on the MAC model too
+    plan = _auto_tile_plan(2048, 2048, cap=640)
     assert plan is not None and plan[0] == 576
-    assert int(576 * (1 - plan[1])) == 512
     # small images past the envelope stay whole-image (reference-exact
     # single global estimate; the blocked route serves them fast) — no
     # fixed-576-grid padding cliff at 704px

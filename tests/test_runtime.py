@@ -366,7 +366,8 @@ def test_dispatch_envelopes_single_source():
     assert pipeline._MEGA_MAX_TILE_DT is env.MEGA_MAX_TILE_DT
     assert sep_poly._FUSED_MAX_CANVAS is env.FUSED_MAX_CANVAS
     assert sep_poly._BLOCK_COST_CONST is env.BLOCK_COST_CONST
-    assert api._BLOCKED_COST_FACTOR is env.BLOCKED_COST_FACTOR
+    assert api._BLOCKED_COST_MACS_PX is env.BLOCKED_COST_MACS_PX
+    assert api._TILE_FIXED_MACS is env.TILE_FIXED_MACS
     assert api._AUTO_TILE_MIN_AREA is env.AUTO_TILE_MIN_AREA
     # structural relations between the envelopes
     assert env.FUSED_MAX_CANVAS == env.MEGA_MAX_TILE + 24

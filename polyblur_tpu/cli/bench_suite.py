@@ -166,13 +166,14 @@ def main(argv=None):
                  f"{dt * 1e3:.1f} ms", f"{mp / dt:.0f} MP/s"))
 
     # --- config 4: 12MP bf16 tiled (headline) -------------------------
-    # 576px tiles at step 512: aligned DMA grid, 1.27x redundancy (see
-    # bench.py for the grid rationale; 4b keeps the reference-default
-    # 400/25% grid as the conservative row).
+    # 448px tiles at step 384: the shipped round-5 grid (1.47x redundancy
+    # but ~27% fewer MXU MACs/px than 576/512 — see bench.py for the grid
+    # rationale; 4b keeps the reference-default 400/25% grid as the
+    # conservative row).
     h4, w4 = (1500, 2000) if args.quick else (3000, 4000)
     reps = (h4 // peacock.shape[0] + 1, w4 // peacock.shape[1] + 1, 1)
     big = np.tile(peacock, reps)[:h4, :w4].transpose(2, 0, 1)[None]
-    grid = plan_patch_grid(h4, w4, 576, 64.0 / 576.0)
+    grid = plan_patch_grid(h4, w4, 448, 64.0 / 448.0)
     tiles = jax.device_put(
         extract_patches(jnp.asarray(big), grid).astype(jnp.bfloat16))
     f4 = jax.jit(functools.partial(
